@@ -1,0 +1,148 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+/** Deterministic HTML → text extraction.
+  *
+  * Pure `Array[Byte] => String` (UTF-8 in, unicode out) so the byte-identical
+  * per-url invariant (BASELINE.json input_hint) is testable without Spark and
+  * holds trivially when the same function runs inside a typed Dataset map.
+  *
+  * Normalization contract (the ONE place where text bytes are decided —
+  * SURVEY.md §7 "Byte-identical text"):
+  *   1. drop `<!-- -->` comments, `<script>`/`<style>` elements incl. content
+  *   2. block-level tags (p, div, h1..h6, li, ul, ol, br, tr, table, title,
+  *      head, body, html, blockquote, pre, section, article) become '\n';
+  *      all other tags become the empty string
+  *   3. decode entities: named (amp lt gt quot apos nbsp) + numeric
+  *      (&#dd; and &#xhh;)
+  *   4. normalize \r\n and \r to \n; collapse runs of spaces/tabs to one
+  *      space; trim each line; drop empty lines; join with '\n'
+  */
+object HtmlText {
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "br",
+    "tr", "table", "title", "head", "body", "html", "blockquote", "pre",
+    "section", "article")
+
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  def extract(html: Array[Byte]): String =
+    extractFromString(new String(html, StandardCharsets.UTF_8))
+
+  def extractBytes(html: Array[Byte]): Array[Byte] =
+    extract(html).getBytes(StandardCharsets.UTF_8)
+
+  def extractFromString(html: String): String = {
+    val sb = new StringBuilder(html.length)
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i)
+          if (close < 0) { i = n } // truncated tag: drop remainder
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = tagName(inner)
+            if ((name == "script" || name == "style") && !inner.startsWith("/")
+                && !inner.endsWith("/")) {
+              val endTag = "</" + name
+              val end = indexOfIgnoreCase(html, endTag, close + 1)
+              if (end < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', end)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              if (BlockTags.contains(name)) sb.append('\n')
+              i = close + 1
+            }
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = html.substring(i + 1, semi)
+          decodeEntity(body) match {
+            case Some(s) => sb.append(s); i = semi + 1
+            case None    => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    normalizeWhitespace(sb.toString)
+  }
+
+  private def tagName(inner: String): String = {
+    val t = inner.trim
+    val s = if (t.startsWith("/")) t.substring(1) else t
+    var j = 0
+    while (j < s.length && (s.charAt(j).isLetterOrDigit)) j += 1
+    s.substring(0, j).toLowerCase
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val nl = needle.length
+    var i = math.max(from, 0)
+    val last = hay.length - nl
+    while (i <= last) {
+      if (hay.regionMatches(true, i, needle, 0, nl)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def decodeEntity(body: String): Option[String] = {
+    if (body.startsWith("#x") || body.startsWith("#X")) {
+      try Some(Integer.parseInt(body.substring(2), 16).toChar.toString)
+      catch { case _: Exception => None }
+    } else if (body.startsWith("#")) {
+      try Some(Integer.parseInt(body.substring(1)).toChar.toString)
+      catch { case _: Exception => None }
+    } else NamedEntities.get(body)
+  }
+
+  /** \r\n|\r → \n; [ \t]+ → single space; trim lines; drop empties. */
+  def normalizeWhitespace(s: String): String = {
+    val unified = s.replace("\r\n", "\n").replace('\r', '\n')
+    val lines = unified.split('\n')
+    val out = new StringBuilder(s.length)
+    var first = true
+    var li = 0
+    while (li < lines.length) {
+      val line = collapseSpaces(lines(li))
+      if (line.nonEmpty) {
+        if (!first) out.append('\n')
+        out.append(line)
+        first = false
+      }
+      li += 1
+    }
+    out.toString
+  }
+
+  private def collapseSpaces(line: String): String = {
+    val sb = new StringBuilder(line.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == ' ' || c == '\t') pendingSpace = true
+      else {
+        if (pendingSpace && sb.nonEmpty) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.core.Rng
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpus curation.
+  *
+  * All variants follow the same scale shape: a cheap per-document signature
+  * computed in a narrow stage, a bucket/band key that makes candidate
+  * generation an equi-join (never an all-pairs cross join), and an exact
+  * verification only on the candidate pairs. That is the only structure
+  * that survives 10^12 documents.
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic representative (min id) per identical key.
+    * Hash-aggregate with map-side combine; one shuffle on the key hash.
+    * At 100 TB, group on xxhash64(text) (8 bytes) instead of the full text
+    * to shrink the shuffle — that is what `byHash` does. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  def exactByHash(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.withColumn("key_hash", xxhash64(col(keyCol)))
+      .groupBy("key_hash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Deterministic affine hash family over a base 64-bit hash:
+    * h_i(x) = a_i * x + b_i (wrapping), a_i odd. Seeded by SplitMix64. */
+  private def hashParams(numHashes: Int): Array[(Long, Long)] = {
+    val rng = new Rng(0x5eed5eedL)
+    Array.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
+  }
+
+  /** Word k-shingles of a text, as a column expression (codegen'd, no UDF):
+    * transform over a sequence of slices of the split array. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** (id, signature) per doc: minhash over word-k-shingle xxhash64 values.
+    * Computed per-partition in a typed map — no explode, no shuffle. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = hashParams(numHashes)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.split(' ')
+          val n = math.max(words.length - k + 1, 0)
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          var i = 0
+          while (i < n) {
+            val sb = new StringBuilder
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j)); j += 1
+            }
+            val base = xxLike(sb.toString)
+            var h = 0
+            while (h < numHashes) {
+              val v = params(h)._1 * base + params(h)._2
+              if (v < sig(h)) sig(h) = v
+              h += 1
+            }
+            i += 1
+          }
+          (id, sig.toSeq)
+        }
+      }.toDF(idCol, "signature")
+  }
+
+  /** Deterministic 64-bit string hash (FNV-1a over UTF-8; pure JVM). */
+  def xxLike(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** LSH banding: candidate pairs = docs sharing any band hash. The
+    * band-key groupBy bounds the join: no all-pairs blowup. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b))
+      ).as(Seq("band", "band_hash")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup: signatures → banded candidates → verified
+    * by estimated jaccard from the signatures themselves. */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    val est = cands
+      .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")), "b")
+      .withColumn("est_jaccard",
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          "v -> v)) AS DOUBLE) / CAST(size(sig_a) AS DOUBLE)"))
+    est.where(col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over word hashes; near-dups share most bits. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val acc = new Array[Int](64)
+          text.split(' ').foreach { w =>
+            val h = xxLike(w)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+              b += 1
+            }
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+          (id, fp)
+        }
+      }.toDF(idCol, "simhash")
+  }
+
+  /** SimHash near-dups: band the 64 bits into 4×16-bit keys (any match →
+    * candidate; catches all pairs with hamming distance ≤ 3), verify exact
+    * hamming ≤ maxHamming. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs, textCol, idCol)
+    val banded = fp.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "key")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  // ---------------- n-gram Jaccard (exact, blocked) ----------------
+
+  /** Exact word-k-gram jaccard over candidate pairs generated by a shared-
+    * shingle equi-join within a blocking key — SQL-expressible, so this one
+    * carries a DuckDB oracle. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, k: Int, threshold: Double): DataFrame = {
+    val withSh = docs.select(col(idCol), col(blockCol),
+      shingles(col(textCol), k).as("sh"))
+    val sizes = withSh.select(col(idCol), col(blockCol),
+      size(col("sh")).as("nsh"))
+    val exploded = withSh.select(col(idCol), col(blockCol),
+      explode(col("sh")).as("shingle"))
+    val inter = exploded.as("l").join(exploded.as("r"),
+        col("l.shingle") === col("r.shingle") &&
+        col(s"l.$blockCol") === col(s"r.$blockCol") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("nsh").as("nb")), "b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.core.Rng
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k with codegen'd higher-order functions
+  * (zip_with + aggregate — no UDF in the hot path). Scale path: LSH by
+  * random-hyperplane sign buckets (deterministic planes), so candidate
+  * generation is an equi-join on bucket keys instead of a cross join; and an
+  * IVF-style variant that partitions vectors by nearest coarse centroid and
+  * probes only the closest cells.
+  */
+object Similarity {
+
+  /** cosine(a, b) as a Column, computed in double with explicit
+    * dot/sqrt(na)/sqrt(nb) association (mirrors the DuckDB oracle). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-k neighbors for each of `queries` rows (small side —
+    * broadcast) against the full vector table. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val v = vectors.select(col(idCol).as("vec_id2"), col(vecCol).as("vvec"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id2") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("vvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id2").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
+        col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (nBits × dim), seeded. */
+  private def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rng = new Rng(0x91239876L)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Sign-LSH bucket key per vector: nBits-bit signature of hyperplane
+    * side tests. Vectors in the same bucket are near-duplicate candidates. */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ps = planes(nBits, dim)
+    vectors.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, vec) =>
+          var key = 0L
+          var b = 0
+          while (b < ps.length) {
+            var dot = 0.0
+            val p = ps(b)
+            var i = 0
+            val n = math.min(p.length, vec.length)
+            while (i < n) { dot += p(i) * vec(i); i += 1 }
+            if (dot >= 0) key |= (1L << b)
+            b += 1
+          }
+          (id, key)
+        }
+      }.toDF(idCol, "bucket")
+  }
+
+  /** ANN near-duplicate pairs: same LSH bucket → verify exact cosine. */
+  def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dim: Int, threshold: Double): DataFrame = {
+    val b = lshBuckets(vectors, idCol, vecCol, nBits, dim)
+    val withB = vectors.select(col(idCol), col(vecCol)).join(b, idCol)
+    withB.as("l").join(withB.as("r"),
+        col("l.bucket") === col("r.bucket") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cos", cosine(col(s"l.$vecCol"), col(s"r.$vecCol")))
+      .where(col("cos") >= threshold)
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"), col("cos"))
+  }
+
+  /** IVF-style ANN top-k: coarse-quantize to `nCells` deterministic
+    * centroids (the lowest-id vectors — deterministic and data-dependent),
+    * then search only the query's `nProbe` nearest cells. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    // assign every vector to its nearest centroid (broadcast centroids)
+    val assigned = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    // probe cells per query
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+    val scored = probes.join(assigned, Seq("cell_id"))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col(vecCol)))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col(idCol).asc)))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
+        col("cos"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import graft.core.FixtureGen
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The input_hint `pages` row (BASELINE.json): url, warc_ts, html, text,
+  * lang. `text` is null at rest — the pipeline's extract stage fills it. */
+final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
+    text: String, lang: String)
+
+/** Spark-side materialization of the deterministic fixtures.
+  *
+  * Page generation runs ON THE EXECUTORS: each row derives only from
+  * (seed, id) via `spark.range(...).mapPartitions`, so the same table is
+  * produced at any parallelism / partition count — that independence is what
+  * lets the N vs 4N scaling runs (BASELINE.md) read identical input without
+  * shipping 100 TB of fixture files.
+  */
+object FixtureSpark {
+
+  def pages(spark: SparkSession, n: Long, partitions: Int): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).mapPartitions { it =>
+      it.map { id =>
+        val p = FixtureGen.page(id)
+        Page(p.url, new Timestamp(p.warcTsMicros / 1000L), p.html, null,
+          p.lang)
+      }
+    }
+  }
+
+  def entities(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    FixtureGen.entities().toDF("entity_id", "canonical", "cls")
+  }
+
+  def aliases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    FixtureGen.aliases().toDF("alias", "entity_id", "prior")
+  }
+
+  /** Synthetic CC graph: 1000-node chains + one star hub of configurable
+    * degree (FIXTURES.md `cc_edges`) — exercises both the O(log n)
+    * convergence (long chains) and skew handling (hub). */
+  def ccEdges(spark: SparkSession, nChains: Int, chainLen: Int,
+      hubDegree: Int): DataFrame = {
+    import spark.implicits._
+    val chainParts = math.max(2, nChains / 8)
+    val chains = spark.range(0L, nChains.toLong * chainLen, 1L, chainParts)
+      .flatMap { i =>
+        val chain = i / chainLen
+        val pos = i % chainLen
+        if (pos == chainLen - 1) Iterator.empty
+        else Iterator((chain * chainLen + pos, chain * chainLen + pos + 1))
+      }.toDF("src", "dst")
+    val hubBase = nChains.toLong * chainLen
+    val hub = spark.range(1L, hubDegree.toLong + 1, 1L, 4)
+      .selectExpr(s"CAST($hubBase AS BIGINT) AS src",
+        s"CAST($hubBase AS BIGINT) + id AS dst")
+    chains.unionByName(hub)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import graft.core._
+import graft.operators.ConnectedComponents
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class PageText(url: String, text: String)
+final case class SentenceRow(url: String, sentIdx: Int, tokens: Seq[String],
+    tags: Seq[String])
+final case class MentionRow(url: String, sentIdx: Int, mentionIdx: Int,
+    beginTok: Int, endTok: Int, cls: String, surface: String,
+    entity_id: Long, score: Double)
+final case class TripleRow(subj: String, pred: String, obj: String,
+    url: String, warc_ts: java.sql.Timestamp)
+
+/** The KG-construction pipeline (SURVEY.md §3.2):
+  *
+  *   pages → extract_text → sentences → ner_tags → mentions → candidates
+  *         → links → triples → canonicalize → bucketed parquet + manifest
+  *
+  * Physical shape, chosen for 10^12-document scale:
+  *   - stages 1–7 are DOCUMENT-LOCAL: one `mapPartitions` over the pages
+  *     scan (DocPipeline.process), so the heavy data never shuffles. The
+  *     alias/gazetteer/profile model is a broadcast (the typed realization
+  *     of the candidate-generation broadcast hash join; see
+  *     `stagedTriples` for the Catalyst BroadcastHashJoinExec variant that
+  *     tests cross-check against this path).
+  *   - canonicalization runs connected components on the ENTITY graph
+  *     (tiny relative to pages) and broadcasts the resulting
+  *     entity→canonical map into the same narrow stage.
+  *   - the only wide exchange is the final repartition by url-hash bucket
+  *     for the partitioned write (north_rule: range-partitioned shuffles by
+  *     url-hash), plus the manifest aggregation (one row per bucket).
+  */
+object KgPipeline {
+
+  /** Broadcastable linking model: gazetteer + alias candidates + profiles. */
+  final case class Model(gaz: NerModel.Gazetteer, aliasMap: DocPipeline.AliasMap)
+      extends Serializable
+
+  def buildModel(entities: Vector[(Long, String, String)],
+      aliases: Vector[(String, Long, Double)]): Model = {
+    val clsById = entities.map(e => e._1 -> e._3).toMap
+    val gaz = NerModel.Gazetteer.fromAliases(
+      aliases.map(a => a._1 -> clsById.getOrElse(a._2, "")))
+    val aliasMap = aliases.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(a => (a._2, a._3)).sortBy(_._1).toVector
+    }
+    Model(gaz, aliasMap)
+  }
+
+  def fixtureModel(): Model = buildModel(
+    FixtureGen.entities().map(e => (e.entity_id, e.canonical, e.cls)),
+    FixtureGen.aliases().map(a => (a.alias, a.entity_id, a.prior)))
+
+  // ---------------- canonicalization ----------------
+
+  /** Same-as edges: entities sharing a high-prior alias surface (the
+    * duplicate-entity signal). Pure DataFrame self-join on the alias table. */
+  def sameAsEdges(aliases: DataFrame): DataFrame = {
+    val a = aliases.where(col("prior") >= 0.8)
+      .select(col("alias"), col("entity_id"))
+    a.as("l").join(a.as("r"), col("l.alias") === col("r.alias") &&
+        col("l.entity_id") < col("r.entity_id"))
+      .select(col("l.entity_id").as("src"), col("r.entity_id").as("dst"))
+      .distinct()
+  }
+
+  /** entity_id → canonical surface of its component representative
+    * (min entity_id), via the distributed CC fixpoint. */
+  def canonicalMap(spark: SparkSession, entities: DataFrame,
+      aliases: DataFrame): DataFrame = {
+    val comps = ConnectedComponents.run(spark, sameAsEdges(aliases))
+    entities.join(comps.withColumnRenamed("node", "entity_id"),
+        Seq("entity_id"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("entity_id")))
+      .as("e")
+      .join(broadcast(entities.select(col("entity_id").as("comp"),
+        col("canonical").as("comp_canonical"))), Seq("comp"))
+      .select(col("entity_id"), col("comp"), col("comp_canonical"))
+  }
+
+  // ---------------- fused narrow stages ----------------
+
+  def extractText(pages: Dataset[Page]): Dataset[PageText] = {
+    import pages.sparkSession.implicits._
+    pages.map(p => PageText(p.url, HtmlText.extract(p.html)))
+  }
+
+  def sentences(pages: Dataset[Page], bc: Broadcast[Model]): Dataset[SentenceRow] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { p =>
+        DocPipeline.process(p.html, m.gaz, m.aliasMap, FixtureGen.profileWords(_).toSet)
+          .sentences.map(s => SentenceRow(p.url, s.sentIdx, s.tokens, s.tags))
+      }
+    }
+  }
+
+  def mentions(pages: Dataset[Page], bc: Broadcast[Model]): Dataset[MentionRow] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { p =>
+        DocPipeline.process(p.html, m.gaz, m.aliasMap, FixtureGen.profileWords(_).toSet)
+          .mentions.map(x => MentionRow(p.url, x.sentIdx, x.mentionIdx,
+            x.beginTok, x.endTok, x.cls, x.surface, x.entityId, x.score))
+      }
+    }
+  }
+
+  /** pages → canonicalized (subj, pred, obj, url, warc_ts): the whole
+    * document-local path in one narrow stage. */
+  def triples(pages: Dataset[Page], bc: Broadcast[Model],
+      bcCanon: Broadcast[Map[Long, String]]): Dataset[TripleRow] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val m = bc.value
+      val canon = bcCanon.value
+      it.flatMap { p =>
+        DocPipeline.process(p.html, m.gaz, m.aliasMap,
+            FixtureGen.profileWords(_).toSet)
+          .triples.flatMap { t =>
+            for {
+              s <- canon.get(t.subjId)
+              o <- canon.get(t.objId)
+            } yield TripleRow(s, t.pred, o, p.url, p.warc_ts)
+          }
+      }
+    }
+  }
+
+  /** End-to-end: build model + canonical map from the entity/alias tables,
+    * then run the narrow stage. */
+  def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
+      aliases: DataFrame): Dataset[TripleRow] = {
+    val model = buildModel(
+      entities.select("entity_id", "canonical", "cls").collect().toVector
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))),
+      aliases.select("alias", "entity_id", "prior").collect().toVector
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))))
+    val canon = canonicalMap(spark, entities, aliases)
+      .select("entity_id", "comp_canonical").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast(model)
+    val bcCanon = spark.sparkContext.broadcast(canon)
+    triples(pages, bc, bcCanon)
+  }
+
+  // ---------------- staged DataFrame variant (cross-check) ----------------
+
+  /** Linking expressed as staged Catalyst operators: mentions DataFrame →
+    * BROADCAST HASH JOIN against the alias table → context-score UDF →
+    * top-1 per mention via groupBy(max_by) (partial-aggregated map-side,
+    * cheaper than a window at scale). Used by tests to cross-check the
+    * fused path's links; at 100 TB the fused path wins because the
+    * mention-granularity shuffle disappears entirely. */
+  def stagedLinks(spark: SparkSession, pages: Dataset[Page],
+      entities: DataFrame, aliases: DataFrame): DataFrame = {
+    import spark.implicits._
+    val model = fixtureModel()
+    val bc = spark.sparkContext.broadcast(Model(model.gaz, Map.empty))
+
+    // mentions with their context window, NO linking yet
+    val ment = pages.mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { p =>
+        val res = DocPipeline.process(p.html, m.gaz, Map.empty, _ => Set.empty)
+        res.sentences.flatMap { s =>
+          val toks = s.tokens.toIndexedSeq
+          val spans = BioSpans.toSpans(
+            Tokenizer.tokenize(s.tokens.mkString(" ")), s.tags)
+          spans.zipWithIndex.map { case (sp, mi) =>
+            (p.url, s.sentIdx, mi, sp.surface,
+              Linking.contextTokens(toks, sp.beginTok, sp.endTok).toSeq)
+          }
+        }
+      }
+    }.toDF("url", "sentIdx", "mentionIdx", "surface", "context")
+
+    val scoreUdf = udf((entityId: Long, prior: Double, ctx: Seq[String]) =>
+      Linking.score(prior, FixtureGen.profileWords(entityId).toSet, ctx.toSet))
+
+    val linked = ment
+      .join(broadcast(aliases), ment("surface") === aliases("alias"))
+      .withColumn("score", scoreUdf(col("entity_id"), col("prior"), col("context")))
+      .groupBy("url", "sentIdx", "mentionIdx")
+      .agg(max_by(col("entity_id"),
+        struct(col("score"), col("entity_id") * -1)).as("entity_id"))
+    linked
+  }
+}

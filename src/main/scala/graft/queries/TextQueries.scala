@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surface over `documents`: dedup family, text analysis,
+  * token statistics. SQL-expressible ops carry DuckDB oracles; signature-
+  * based ops (minhash/simhash/fingerprint) are deterministic but not
+  * SQL-expressible → rows-only driver check + exact ScalaTest specs.
+  */
+object TextQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "q40_word_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(20)),
+
+    "q41_token_counts" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
+        .orderBy("doc_id")),
+
+    "q42_quality_features" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(documents(s, d), "text")
+        .select("doc_id", "n_words", "mean_word_len", "stopword_ratio",
+          "alpha_ratio")
+        .orderBy("doc_id")),
+
+    "q43_exact_dedup" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "text", "doc_id")
+        .groupBy("dup_count").agg(count(lit(1)).as("n_groups"))
+        .orderBy("dup_count")),
+
+    "q44_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+          "source", k = 3, threshold = 0.03)
+        .groupBy().agg(count(lit(1)).as("n_pairs"),
+          Q.dsum(col("jaccard")).as("sum_jaccard"))),
+
+    "q45_minhash_neardup" -> ((s, d) =>
+      // deterministic but not SQL-expressible: rows-only driver check;
+      // exactness vs true jaccard asserted in DedupSpec
+      Dedup.minhashNearDups(documents(s, d), "text", "doc_id",
+          k = 2, numHashes = 64, bands = 32, threshold = 0.30)
+        .orderBy("a", "b")),
+
+    "q46_simhash" -> ((s, d) =>
+      Dedup.simhash(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "q47_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "q48_langid" -> ((s, d) =>
+      // heuristic language id over synthetic-keyword text: not meaningful
+      // linguistically, but exercises the operator end to end; rows-only
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+
+    "q49_length_stats" -> ((s, d) =>
+      documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          Q.dsum(col("n_chars").cast("double")).as("sum_chars"))
+        .orderBy("lang", "source"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_word_topk" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+
+    "q41_token_counts" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text,
+        |  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_quality_features" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS nw,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |    AS DOUBLE) AS ac,
+        |  CAST(len(list_intersect(string_split_regex(text, '\s+'),
+        |    ['a','an','and','auf','avec','con','dans','das','de','den',
+        |     'der','die','ein','eine','el','es','est','et','for','from',
+        |     'im','in','is','ist','la','las','le','les','los','mit',
+        |     'nicht','of','on','para','pas','por','pour','que','se','sur',
+        |     'that','the','this','to','un','una','und','une','von','with',
+        |     'y','zu'])) AS DOUBLE) AS sc
+        |  FROM documents)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |  (nc - (nw - 1.0)) / nw AS mean_word_len,
+        |  sc / nw AS stopword_ratio, ac / nc AS alpha_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q43_exact_dedup" ->
+      """SELECT dup_count, COUNT(*) AS n_groups FROM (
+        |  SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |  FROM documents GROUP BY text)
+        |GROUP BY dup_count ORDER BY dup_count""".stripMargin,
+
+    "q44_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, list_distinct([
+         |    array_to_string(words[i:i+2], ' ')
+         |    FOR i IN range(1, greatest(len(words) - 2, 1) + 1)]) AS shingles
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+         |sz AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+         |  FROM ex l JOIN ex r ON l.shingle = r.shingle
+         |    AND l.source = r.source AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, b, CAST(i AS DOUBLE) /
+         |    CAST(sa.nsh + sb.nsh - i AS DOUBLE) AS jaccard
+         |  FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |  JOIN sz sb ON inter.b = sb.doc_id)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ${Q.dsumSql("jaccard")} AS sum_jaccard
+         |FROM j WHERE jaccard >= 0.03""".stripMargin,
+
+    "q49_length_stats" ->
+      s"""SELECT lang, source, COUNT(*) AS n, MIN(n_chars) AS min_chars,
+         |MAX(n_chars) AS max_chars,
+         |${Q.dsumSql("CAST(n_chars AS DOUBLE)")} AS sum_chars
+         |FROM documents GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin
+  )
+}

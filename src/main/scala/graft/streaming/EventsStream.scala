@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9). The production pipeline
+  * is resumable BATCH with manifest watermarks (north_rule), but the engine
+  * also exposes the streaming form of the same operators: readStream →
+  * watermark → windowed agg / dedup-within-watermark → sink.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling-window counts with a 10-minute watermark. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total"))
+
+  /** Streaming dedup within the watermark. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming query over a static parquet dir to completion via the
+    * memory sink (the local test harness for the streaming operators). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

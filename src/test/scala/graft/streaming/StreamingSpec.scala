@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over a static events dir must agree with the batch
+  * aggregation of the same data (complete mode ⇒ no rows dropped). */
+class StreamingSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts == batch windowed counts") {
+    // stream from a single-table dir (readStream takes a directory)
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
+    spark.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/ev")
+
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.windowedCounts(spark, s"$tmp/ev"), "win_counts",
+      "complete")
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+
+    val batch = spark.read.parquet(s"$tmp/ev")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup within watermark emits each event once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
+    // duplicate every event, then stream-dedup
+    ev.unionByName(ev).write.parquet(s"$tmp/ev")
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.dedupStream(spark, s"$tmp/ev"), "dedup_stream", "append")
+    assert(streamed.count() == 100)
+    assert(streamed.select("event_id").distinct().count() == 100)
+  }
+}
