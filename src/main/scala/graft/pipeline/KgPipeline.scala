@@ -133,10 +133,14 @@ object KgPipeline {
     }
   }
 
-  /** End-to-end: build model + canonical map from the entity/alias tables,
-    * then run the narrow stage. */
-  def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
-      aliases: DataFrame): Dataset[TripleRow] = {
+  /** The broadcastable, page-count-independent part of the job: linking
+    * model + connected-components canonical map. O(|entities|+|aliases|);
+    * at 10^12 documents this is a fixed cost amortized to zero, so callers
+    * that process many batches (bench, resume loops) build it once. */
+  final case class Prepared(model: Model, canon: Map[Long, String])
+
+  def prepare(spark: SparkSession, entities: DataFrame,
+      aliases: DataFrame): Prepared = {
     val model = buildModel(
       entities.select("entity_id", "canonical", "cls").collect().toVector
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))),
@@ -145,8 +149,19 @@ object KgPipeline {
     val canon = canonicalMap(spark, entities, aliases)
       .select("entity_id", "comp_canonical").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val bc = spark.sparkContext.broadcast(model)
-    val bcCanon = spark.sparkContext.broadcast(canon)
+    Prepared(model, canon)
+  }
+
+  /** End-to-end: build model + canonical map from the entity/alias tables,
+    * then run the narrow stage. */
+  def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
+      aliases: DataFrame): Dataset[TripleRow] =
+    run(spark, pages, prepare(spark, entities, aliases))
+
+  def run(spark: SparkSession, pages: Dataset[Page],
+      prepared: Prepared): Dataset[TripleRow] = {
+    val bc = spark.sparkContext.broadcast(prepared.model)
+    val bcCanon = spark.sparkContext.broadcast(prepared.canon)
     triples(pages, bc, bcCanon)
   }
 
