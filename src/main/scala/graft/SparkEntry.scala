@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.ExtraQueries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.ExtraQueries.oracles
 }

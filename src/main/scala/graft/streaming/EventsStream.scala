@@ -36,6 +36,27 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count and max value, maintained in the state store across triggers. */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    ev.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+          var n = n0
+          var mx = mx0
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          state.update((n, mx))
+          (user, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   /** Run a streaming query over a static parquet dir to completion via the
     * memory sink (the local test harness for the streaming operators). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.core.Conll
+import graft.operators.Salting
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("SpanF1 aggregator computes CoNLL-style P/R/F1") {
+    import spark.implicits._
+    // 3 matched, 1 pred-only, 2 gold-only → P=3/4, R=3/5
+    val flags = Seq(
+      SpanF1.SpanFlag(true, true), SpanF1.SpanFlag(true, true),
+      SpanF1.SpanFlag(true, true), SpanF1.SpanFlag(true, false),
+      SpanF1.SpanFlag(false, true), SpanF1.SpanFlag(false, true)).toDS()
+    val m = flags.select(SpanF1.aggregator.toColumn).head()
+    assert(m.precision == 0.75 && m.recall == 0.6)
+    assert(math.abs(m.f1 - 2 * 0.75 * 0.6 / 1.35) < 1e-12)
+  }
+
+  test("SpanF1 merges partial buffers across partitions") {
+    import spark.implicits._
+    val flags = (1 to 1000).map(i =>
+      SpanF1.SpanFlag(isPred = true, isGold = i % 2 == 0)).toDS()
+      .repartition(7)
+    val m = flags.select(SpanF1.aggregator.toColumn).head()
+    assert(m.precision == 0.5 && m.recall == 1.0)
+  }
+
+  test("Conll format/parse round trip") {
+    val doc = Seq(
+      (Seq("Alice", "Johnson", "met", "."),
+        Seq("B-PER", "I-PER", "O", "O")),
+      (Seq("Acme", "."), Seq("B-ORG", "O")))
+    val text = Conll.format("https://x.example/p1", doc)
+    val parsed = Conll.parse(text)
+    assert(parsed.length == 1)
+    assert(parsed(0)._1 == "https://x.example/p1")
+    assert(parsed(0)._2 ==
+      doc.map { case (a, b) => (a.toVector, b.toVector) }.toVector)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i % 5, s"v$i")).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
+      .toDF("k2", "name")
+    val plain = big.join(small, col("k") === col("k2"))
+      .groupBy("name").count()
+    val salted = Salting.saltedJoin(big, small, "k", "k2", "v", 8)
+      .groupBy("name").count()
+    assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"exact=$exact approx=$approx")
+  }
+}

@@ -29,6 +29,20 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stateful mapGroupsWithState matches batch per-user aggregates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream3").toString
+    spark.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/ev")
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.statefulUserCounts(spark, s"$tmp/ev"), "user_counts",
+      "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = spark.read.parquet(s"$tmp/ev")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup within watermark emits each event once") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
