@@ -116,11 +116,12 @@ object PipelineBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // the bucket files are ~8 MB; the 128 MB default would bin-pack the
-      // scan into fewer tasks than cores — force ≈1 task per bucket file
-      // so BOTH parallelism levels have ≥8 tasks/core (BASELINE.md)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
+      // one task per bucket file: the 128 MB default would bin-pack the
+      // ~12 MB bucket files into fewer tasks than cores; smaller-than-file
+      // splits would add EMPTY tasks (each file holds one row group) and
+      // double the output file count of the colocated write
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -42,7 +42,7 @@ object ScalingProbe {
           it.map { id =>
             val p = FixtureGen.page(id)
             DocPipeline.process(p.html, m.gaz, m.aliasMap,
-              FixtureGen.profileWords(_).toSet).triples.length
+              FixtureGen.profileWords).triples.length
           }
         }.agg("value" -> "sum").count()
       }

@@ -12,15 +12,17 @@ package graft.core
   * cross-checked against this in KgPipelineSpec).
   *
   * Pure and deterministic: also called by tests directly against the
-  * FixtureGen goldens.
+  * FixtureGen goldens. Instantiate ONE DocProcessor per partition — it
+  * carries reusable Viterbi scratch (allocation bandwidth is the scaling
+  * limiter at high core counts, BASELINE.md).
   */
 object DocPipeline {
 
   /** alias surface → candidate (entity_id, prior), sorted by entity_id. */
   type AliasMap = Map[String, Vector[(Long, Double)]]
 
-  final case class DocSentence(sentIdx: Int, tokens: Vector[String],
-      tags: Vector[String])
+  final case class DocSentence(sentIdx: Int, tokens: Seq[String],
+      tags: Seq[String])
   final case class DocMention(sentIdx: Int, mentionIdx: Int, beginTok: Int,
       endTok: Int, cls: String, surface: String, entityId: Long,
       score: Double)
@@ -28,9 +30,21 @@ object DocPipeline {
   final case class DocResult(text: String, sentences: Vector[DocSentence],
       mentions: Vector[DocMention], triples: Vector[DocTriple])
 
+  /** One-shot convenience (tests); Spark stages use a DocProcessor. */
   def process(html: Array[Byte], gaz: NerModel.Gazetteer,
       aliasMap: AliasMap,
-      profile: Long => Set[String]): DocResult = {
+      profile: Long => IndexedSeq[String]): DocResult =
+    new DocProcessor(gaz, aliasMap, profile).process(html)
+}
+
+final class DocProcessor(gaz: NerModel.Gazetteer,
+    aliasMap: DocPipeline.AliasMap,
+    profile: Long => IndexedSeq[String]) extends Serializable {
+  import DocPipeline._
+
+  private val scratch = new NerModel.Scratch
+
+  def process(html: Array[Byte]): DocResult = {
     val text = HtmlText.extract(html)
     val sents = Tokenizer.sentences(text)
     val sentences = Vector.newBuilder[DocSentence]
@@ -39,25 +53,32 @@ object DocPipeline {
     var si = 0
     while (si < sents.length) {
       val toks = Tokenizer.tokenize(sents(si))
-      val words = toks.map(_.text)
-      val tags = NerModel.tag(words, gaz)
+      val words: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          Array.tabulate(toks.length)(toks(_).text))
+      val tagArr = NerModel.tagArray(words, gaz, scratch)
+      val tags: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tagArr)
       sentences += DocSentence(si, words, tags)
       val spans = BioSpans.toSpans(toks, tags)
       // link each span: candidates from the broadcast alias map, scored by
       // prior + windowed context overlap, top-1 by (score desc, id asc)
       val linked = spans.zipWithIndex.map { case (sp, mi) =>
-        val ctx = Linking.contextTokens(words, sp.beginTok, sp.endTok)
         val cands = aliasMap.getOrElse(sp.surface, Vector.empty)
-        val (eid, score) =
-          if (cands.isEmpty) (-1L, 0.0)
-          else {
-            val best = cands.map { case (id, prior) =>
-              (Linking.score(prior, profile(id), ctx), id)
-            }.minBy { case (s, id) => (-s, id) }
-            (best._2, best._1)
+        var bestId = -1L
+        var bestScore = 0.0
+        var ci = 0
+        while (ci < cands.length) {
+          val (id, prior) = cands(ci)
+          val s = Linking.overlapScore(prior, profile(id), words,
+            sp.beginTok, sp.endTok)
+          if (s > bestScore || (s == bestScore && bestId >= 0 && id < bestId)) {
+            bestScore = s; bestId = id
           }
+          ci += 1
+        }
         DocMention(si, mi, sp.beginTok, sp.endTok, sp.cls, sp.surface,
-          eid, score)
+          bestId, if (bestId >= 0) bestScore else 0.0)
       }
       linked.foreach(mentions += _)
       SpoPatterns.extract(toks, spans).foreach { c =>

@@ -18,6 +18,13 @@ import java.nio.charset.StandardCharsets
   *      (&#dd; and &#xhh;)
   *   4. normalize \r\n and \r to \n; collapse runs of spaces/tabs to one
   *      space; trim each line; drop empty lines; join with '\n'
+  *
+  * Implementation note: extraction and whitespace normalization are FUSED
+  * into one pass with a small state machine (pendingNewline/pendingSpace) —
+  * the document hot path is allocation-bandwidth-bound at high core counts
+  * (BASELINE.md), and the fused form writes the output exactly once instead
+  * of copying the text ~4×. `normalizeWhitespace` keeps the original
+  * multi-pass reference semantics and the property tests assert both agree.
   */
 object HtmlText {
 
@@ -36,8 +43,32 @@ object HtmlText {
   def extractBytes(html: Array[Byte]): Array[Byte] =
     extract(html).getBytes(StandardCharsets.UTF_8)
 
+  /** Fused extraction + normalization state machine. */
   def extractFromString(html: String): String = {
-    val sb = new StringBuilder(html.length)
+    val sb = new StringBuilder(math.min(html.length, 1 << 16))
+    var pendingNewline = false
+    var pendingSpace = false
+
+    @inline def emit(c: Char): Unit = {
+      if (c == '\n' || c == '\r') {
+        pendingNewline = true
+        pendingSpace = false
+      } else if (c == ' ' || c == '\t') {
+        if (!pendingNewline && sb.nonEmpty &&
+          sb.charAt(sb.length - 1) != '\n') pendingSpace = true
+      } else {
+        if (pendingNewline) {
+          if (sb.nonEmpty) sb.append('\n')
+          pendingNewline = false
+          pendingSpace = false
+        } else if (pendingSpace) {
+          sb.append(' ')
+          pendingSpace = false
+        }
+        sb.append(c)
+      }
+    }
+
     var i = 0
     val n = html.length
     while (i < n) {
@@ -62,7 +93,7 @@ object HtmlText {
                 i = if (endClose < 0) n else endClose + 1
               }
             } else {
-              if (BlockTags.contains(name)) sb.append('\n')
+              if (BlockTags.contains(name)) emit('\n')
               i = close + 1
             }
           }
@@ -72,13 +103,13 @@ object HtmlText {
         if (semi > i && semi - i <= 10) {
           val body = html.substring(i + 1, semi)
           decodeEntity(body) match {
-            case Some(s) => sb.append(s); i = semi + 1
-            case None    => sb.append(c); i += 1
+            case Some(s) => { var j = 0; while (j < s.length) { emit(s.charAt(j)); j += 1 }; i = semi + 1 }
+            case None    => emit(c); i += 1
           }
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+        } else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
     }
-    normalizeWhitespace(sb.toString)
+    sb.toString
   }
 
   private def tagName(inner: String): String = {
@@ -110,7 +141,9 @@ object HtmlText {
     } else NamedEntities.get(body)
   }
 
-  /** \r\n|\r → \n; [ \t]+ → single space; trim lines; drop empties. */
+  /** Reference (multi-pass) normalization semantics: \r\n|\r → \n;
+    * [ \t]+ → single space; trim lines; drop empties. The fused state
+    * machine above is property-tested equivalent. */
   def normalizeWhitespace(s: String): String = {
     val unified = s.replace("\r\n", "\n").replace('\r', '\n')
     val lines = unified.split('\n')

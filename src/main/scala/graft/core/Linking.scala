@@ -21,4 +21,27 @@ object Linking {
 
   def score(prior: Double, profile: Set[String], context: Set[String]): Double =
     prior + profile.count(context.contains).toDouble
+
+  /** Allocation-free equivalent of contextTokens+score: counts distinct
+    * profile words present in the ±Window context, scanning the token
+    * array directly. profile must be duplicate-free (it is — FixtureGen
+    * profiles are 3 distinct words). */
+  def overlapScore(prior: Double, profile: IndexedSeq[String],
+      tokens: IndexedSeq[String], beginTok: Int, endTok: Int): Double = {
+    val lo = math.max(0, beginTok - Window)
+    val hi = math.min(tokens.length, endTok + Window)
+    var hits = 0
+    var p = 0
+    while (p < profile.length) {
+      val w = profile(p)
+      var found = false
+      var i = lo
+      while (!found && i < beginTok) { found = tokens(i) == w; i += 1 }
+      i = endTok
+      while (!found && i < hi) { found = tokens(i) == w; i += 1 }
+      if (found) hits += 1
+      p += 1
+    }
+    prior + hits.toDouble
+  }
 }

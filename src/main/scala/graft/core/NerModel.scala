@@ -55,24 +55,6 @@ object NerModel {
     }
   }
 
-  /** Emission scores for one token over all tags. */
-  private def emissions(tok: String, gaz: Gazetteer): Array[Double] = {
-    val e = Array.fill(Tags.length)(0.0)
-    e(O) = 1.0
-    val capitalized = tok.nonEmpty && tok.charAt(0).isUpper
-    val beginCls = gaz.begin.getOrElse(tok, Set.empty)
-    val insideCls = gaz.inside.getOrElse(tok, Set.empty)
-    var c = 0
-    while (c < Classes.length) {
-      if (beginCls.contains(c)) e(bOf(c)) += 4.0
-      if (insideCls.contains(c)) e(iOf(c)) += 4.0
-      if (capitalized) { e(bOf(c)) += 0.25; e(iOf(c)) += 0.25 }
-      c += 1
-    }
-    if (!capitalized && beginCls.isEmpty && insideCls.isEmpty) e(O) += 2.0
-    e
-  }
-
   /** BIO-constrained transition score prev→next; hard −inf for invalid
     * I-x after anything but B-x/I-x. */
   private val transition: Array[Array[Double]] = {
@@ -108,46 +90,94 @@ object NerModel {
     s
   }
 
+  /** Reusable per-thread decode buffers — the document hot path runs one
+    * DocProcessor per partition, so Viterbi tables are allocated once and
+    * grown, not allocated per sentence (allocation bandwidth is the
+    * scaling limiter at high core counts, BASELINE.md). */
+  final class Scratch {
+    private[NerModel] var delta: Array[Double] = new Array[Double](0)
+    private[NerModel] var back: Array[Int] = new Array[Int](0)
+    private[NerModel] var em: Array[Double] = new Array[Double](Tags.length)
+    private[NerModel] def ensure(n: Int): Unit = {
+      val need = n * Tags.length
+      if (delta.length < need) {
+        delta = new Array[Double](need)
+        back = new Array[Int](need)
+      }
+    }
+  }
+
   /** Exact Viterbi decode → one BIO tag per token. */
-  def tag(tokens: IndexedSeq[String], gaz: Gazetteer): Vector[String] = {
+  def tag(tokens: IndexedSeq[String], gaz: Gazetteer): Vector[String] =
+    tagArray(tokens, gaz, new Scratch).toVector
+
+  /** Scratch-reusing form; returned array holds interned tag strings. */
+  def tagArray(tokens: IndexedSeq[String], gaz: Gazetteer,
+      scratch: Scratch): Array[String] = {
     val n = tokens.length
-    if (n == 0) return Vector.empty
+    if (n == 0) return Array.empty
     val k = Tags.length
-    val delta = Array.ofDim[Double](n, k)
-    val back = Array.ofDim[Int](n, k)
-    val e0 = emissions(tokens(0), gaz)
+    scratch.ensure(n)
+    val delta = scratch.delta
+    val back = scratch.back
+    val e = scratch.em
+    emissionsInto(tokens(0), gaz, e)
     var j = 0
-    while (j < k) { delta(0)(j) = start(j) + e0(j); j += 1 }
+    while (j < k) { delta(j) = start(j) + e(j); j += 1 }
     var i = 1
     while (i < n) {
-      val e = emissions(tokens(i), gaz)
+      emissionsInto(tokens(i), gaz, e)
+      val row = i * k
+      val prev = row - k
       j = 0
       while (j < k) {
         var best = NegInf * 2
         var arg = 0
         var p = 0
         while (p < k) {
-          val s = delta(i - 1)(p) + transition(p)(j)
+          val s = delta(prev + p) + transition(p)(j)
           if (s > best) { best = s; arg = p }
           p += 1
         }
-        delta(i)(j) = best + e(j)
-        back(i)(j) = arg
+        delta(row + j) = best + e(j)
+        back(row + j) = arg
         j += 1
       }
       i += 1
     }
+    val lastRow = (n - 1) * k
     var bestLast = 0
     j = 1
-    while (j < k) { if (delta(n - 1)(j) > delta(n - 1)(bestLast)) bestLast = j; j += 1 }
+    while (j < k) {
+      if (delta(lastRow + j) > delta(lastRow + bestLast)) bestLast = j
+      j += 1
+    }
     val out = new Array[String](n)
     var cur = bestLast
     i = n - 1
     while (i >= 0) {
       out(i) = Tags(cur)
-      cur = back(i)(cur)
+      cur = back(i * k + cur)
       i -= 1
     }
-    out.toVector
+    out
+  }
+
+  /** emissions() variant writing into a reused buffer. */
+  private def emissionsInto(tok: String, gaz: Gazetteer,
+      e: Array[Double]): Unit = {
+    java.util.Arrays.fill(e, 0.0)
+    e(O) = 1.0
+    val capitalized = tok.nonEmpty && tok.charAt(0).isUpper
+    val beginCls = gaz.begin.getOrElse(tok, Set.empty)
+    val insideCls = gaz.inside.getOrElse(tok, Set.empty)
+    var c = 0
+    while (c < Classes.length) {
+      if (beginCls.contains(c)) e(bOf(c)) += 4.0
+      if (insideCls.contains(c)) e(iOf(c)) += 4.0
+      if (capitalized) { e(bOf(c)) += 0.25; e(iOf(c)) += 0.25 }
+      c += 1
+    }
+    if (!capitalized && beginCls.isEmpty && insideCls.isEmpty) e(O) += 2.0
   }
 }

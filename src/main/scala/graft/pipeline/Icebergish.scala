@@ -39,6 +39,19 @@ object Icebergish {
       .mode(SaveMode.Overwrite)
       .parquet(dir)
 
+  /** Write WITHOUT the bucket shuffle — correct when the rows are already
+    * bucket-local (e.g. triples derived row-wise from a bucket-partitioned
+    * pages scan inherit their page's bucket): each task then writes into
+    * the one or two bucket dirs it holds, so the file count stays ≈ the
+    * task count. Using this for the triple write removes the ONLY
+    * page-volume shuffle in the KG job. */
+  def writeColocated(df: DataFrame, dir: String): Unit =
+    df.write
+      .partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(dir)
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
@@ -107,20 +120,40 @@ object Icebergish {
     val triples = KgPipeline.run(spark, todoPages, prep)
     val prepDone = mark("prepare", t)
     t = prepDone
+    // triples are bucket-local (same url hash as their page, and the pages
+    // scan is bucket-partitioned) → the write needs NO shuffle
     val out = withBucket(triples.toDF(), numBuckets)
-    out.cache()
-    write(out, s"$outDir/triples")
+    writeColocated(out, s"$outDir/triples")
     t = mark("map+write", t)
 
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val perBucket = out.groupBy("bucket").agg(
-      max(col("warc_ts")).as("watermark"),
-      count(lit(1)).as("rows"),
-      sum(length(col("subj")) + length(col("pred")) + length(col("obj")) +
-        length(col("url"))).as("bytes"))
+    // Iceberg-style manifest stats FROM STORAGE, not by re-computing the
+    // data: bytes per bucket from the file listing; rows + watermark from
+    // a pruned (bucket, warc_ts) columnar read of what was just written.
+    val bytesByBucket = {
+      val base = new org.apache.hadoop.fs.Path(s"$outDir/triples")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("bucket="))
+        .map { d =>
+          val b = d.getPath.getName.stripPrefix("bucket=").toInt
+          b -> fs.listStatus(d.getPath).map(_.getLen).sum
+        }.toMap
+    }
+    val bytesUdf = udf((b: Int) => bytesByBucket.getOrElse(b, 0L))
+    // restrict to THIS run's buckets — the output dir also holds buckets
+    // from earlier runs, which must not get duplicate manifest rows; the
+    // isin filter partition-prunes the stats read to the new dirs
+    val todoBucketList = todo.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val perBucket = spark.read.parquet(s"$outDir/triples")
+      .where(col("bucket").isin(todoBucketList: _*))
+      .groupBy("bucket").agg(
+        max(col("warc_ts")).as("watermark"),
+        count(lit(1)).as("rows"))
+      .withColumn("bytes", bytesUdf(col("bucket")))
     // buckets whose pages produced zero triples still need a manifest row,
     // or resume would re-process them forever
-    val allTodoBuckets = todo.select("bucket").distinct()
+    val allTodoBuckets = todoBucketList.toDF("bucket")
     val withEmpty = allTodoBuckets.join(perBucket, Seq("bucket"), "left_outer")
       .select(col("bucket"),
         coalesce(col("watermark"), lit(null).cast("timestamp")).as("watermark"),
@@ -128,7 +161,6 @@ object Icebergish {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
     appendManifest(spark, outDir, "triples", withEmpty, runId, wallMs)
     t = mark("manifest", t)
-    out.unpersist()
     nPages
   }
 }

@@ -93,8 +93,9 @@ object KgPipeline {
     import pages.sparkSession.implicits._
     pages.mapPartitions { it =>
       val m = bc.value
+      val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
-        DocPipeline.process(p.html, m.gaz, m.aliasMap, FixtureGen.profileWords(_).toSet)
+        proc.process(p.html)
           .sentences.map(s => SentenceRow(p.url, s.sentIdx, s.tokens, s.tags))
       }
     }
@@ -104,8 +105,9 @@ object KgPipeline {
     import pages.sparkSession.implicits._
     pages.mapPartitions { it =>
       val m = bc.value
+      val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
-        DocPipeline.process(p.html, m.gaz, m.aliasMap, FixtureGen.profileWords(_).toSet)
+        proc.process(p.html)
           .mentions.map(x => MentionRow(p.url, x.sentIdx, x.mentionIdx,
             x.beginTok, x.endTok, x.cls, x.surface, x.entityId, x.score))
       }
@@ -120,9 +122,9 @@ object KgPipeline {
     pages.mapPartitions { it =>
       val m = bc.value
       val canon = bcCanon.value
+      val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
-        DocPipeline.process(p.html, m.gaz, m.aliasMap,
-            FixtureGen.profileWords(_).toSet)
+        proc.process(p.html)
           .triples.flatMap { t =>
             for {
               s <- canon.get(t.subjId)
@@ -183,11 +185,12 @@ object KgPipeline {
     val ment = pages.mapPartitions { it =>
       val m = bc.value
       it.flatMap { p =>
-        val res = DocPipeline.process(p.html, m.gaz, Map.empty, _ => Set.empty)
+        val res = DocPipeline.process(p.html, m.gaz, Map.empty,
+          _ => Vector.empty)
         res.sentences.flatMap { s =>
           val toks = s.tokens.toIndexedSeq
           val spans = BioSpans.toSpans(
-            Tokenizer.tokenize(s.tokens.mkString(" ")), s.tags)
+            Tokenizer.tokenize(s.tokens.mkString(" ")), s.tags.toIndexedSeq)
           spans.zipWithIndex.map { case (sp, mi) =>
             (p.url, s.sentIdx, mi, sp.surface,
               Linking.contextTokens(toks, sp.beginTok, sp.endTok).toSeq)

@@ -153,6 +153,17 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("fused extractor equals reference normalization on tag-free text") {
+    // property: for text with no markup, extract == normalizeWhitespace
+    val rng = new Rng(99L)
+    val alphabet = "ab \t\n\r".toCharArray
+    (0 until 500).foreach { _ =>
+      val s = new String(Array.fill(rng.nextInt(60))(alphabet(rng.nextInt(6))))
+      assert(HtmlText.extractFromString(s) == HtmlText.normalizeWhitespace(s),
+        s"input=${s.map(c => if (c == '\n') 'N' else if (c == '\r') 'R' else if (c == '\t') 'T' else c)}")
+    }
+  }
+
   test("determinism: same page id generates identical bytes") {
     val a = FixtureGen.page(7L)
     val b = FixtureGen.page(7L)
