@@ -46,6 +46,20 @@ object ScalingProbe {
           }
         }.agg("value" -> "sum").count()
       }
+      // C: native codegen'd cosine vs composable HOF, all-pairs 2000²×64
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val l = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      val r = emb.select(col("vec_id").as("j"), col("embedding").as("b"))
+      val pairs = l.crossJoin(r)
+      time("C-cos-native") {
+        pairs.select(graft.operators.Similarity.cosine(col("a"), col("b"))
+          .as("c")).agg("c" -> "sum").count()
+      }
+      time("C-cos-hof") {
+        pairs.select(graft.operators.Similarity.cosineHof(col("a"), col("b"))
+          .as("c")).agg("c" -> "sum").count()
+      }
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

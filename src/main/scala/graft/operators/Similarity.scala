@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) as a Column, computed in double with explicit
-    * dot/sqrt(na)/sqrt(nb) association (mirrors the DuckDB oracle). */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) over ARRAY<FLOAT>: the native codegen'd Catalyst
+    * expression (same arithmetic association as `cosineHof` and the
+    * DuckDB oracle — bit-equal results, asserted in FunctionsSpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The composable higher-order-function form (zip_with + aggregate).
+    * Kept as the cross-check implementation; allocates an intermediate
+    * array per row that the native expression avoids (measured comparable
+    * at bench scale — the join dominates there; see ScalingProbe C). */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     val na = aggregate(a, lit(0.0),

@@ -53,6 +53,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("native CosineSimilarity is bit-equal to the HOF form and codegens") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .where(col("a_id") < 40)
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b"))
+      .where(col("b_id") >= 40 && col("b_id") < 80)
+    val pairs = a.crossJoin(b)
+    val both = pairs.select(col("a_id"), col("b_id"),
+      graft.operators.Similarity.cosine(col("a"), col("b")).as("native"),
+      graft.operators.Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    val diff = both.where(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF cosine must be bit-identical")
+    // the native expression must live inside WholeStageCodegen (check a
+    // scan+project plan after execution so AQE has finalized)
+    val simple = emb.select(graft.operators.Similarity.cosine(
+      col("embedding"), col("embedding")).as("c"))
+    simple.collect()
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = simple.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"), plan.take(800))
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(
