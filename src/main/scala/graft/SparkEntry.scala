@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtraQueries.queries
+      graft.queries.ExtraQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ExtraQueries.oracles
+      graft.queries.ExtraQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }

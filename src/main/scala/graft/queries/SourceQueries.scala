@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage (SURVEY.md §2.b scans/sources): csv and
+  * json-lines sources exercised as round-trips — a driver table is written
+  * to the format, read back with a DECLARED schema, and aggregated; the
+  * result equals the direct aggregation, which is the DuckDB oracle.
+  * Plus Spark's native session_window (vs q33's lag-gap-cumsum idiom). */
+object SourceQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def tmpDir(name: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft-sources/$name"
+    d
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q68_session_window_native" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")),
+
+    "q69_csv_roundtrip" -> ((s, d) => {
+      val out = tmpDir(s"csv-${d.replaceAll("[^0-9.]", "")}")
+      customer(s, d).write.mode("overwrite").option("header", "true")
+        .csv(out)
+      s.read.schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .option("header", "true").csv(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q70_jsonl_roundtrip" -> ((s, d) => {
+      val out = tmpDir(s"json-${d.replaceAll("[^0-9.]", "")}")
+      supplier(s, d).write.mode("overwrite").json(out)
+      s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, " +
+          "s_acctbal DOUBLE")
+        .json(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), Q.dsum(col("s_acctbal")).as("total"))
+        .orderBy("s_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Spark session_window: a new session starts when the gap since the
+    // previous event is >= the gap duration
+    "q68_session_window_native" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |per AS (SELECT user_id, sess_id, COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q69_csv_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |${Q.dsumSql("c_acctbal")} AS total
+         |FROM customer GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q70_jsonl_roundtrip" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n,
+         |${Q.dsumSql("s_acctbal")} AS total
+         |FROM supplier GROUP BY s_nationkey
+         |ORDER BY s_nationkey""".stripMargin
+  )
+}
