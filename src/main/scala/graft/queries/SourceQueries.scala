@@ -39,6 +39,16 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "q71_math_transcendental" -> ((s, d) =>
+      // log/exp/pow score-combination surface; deterministic (JVM libm)
+      // but libm differs across engines at the last ulp → rows-only
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        log(col("l_extendedprice") + lit(1.0)).as("log_price"),
+        exp(col("l_discount")).as("exp_disc"),
+        pow(col("l_quantity"), lit(1.5)).as("qty_pow"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "q70_jsonl_roundtrip" -> ((s, d) => {
       val out = tmpDir(s"json-${d.replaceAll("[^0-9.]", "")}")
       supplier(s, d).write.mode("overwrite").json(out)
