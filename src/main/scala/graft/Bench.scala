@@ -1,6 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round query benchmark (driver contract).
+  *
+  * Measures each `SparkEntry.queries` entry by executing the FULL delivered
+  * plan: a `noop`-format write. Timing `count()` (round 1) let Catalyst
+  * prune every projection and eliminate sorts under the aggregate, so
+  * projection-heavy queries were under-measured; the noop sink materializes
+  * every output row/column and discards it, which is the honest cost.
+  *
+  * Fixed (sorted) query order + a warm-up pass (JVM/codegen/file-footer
+  * caches primed on the base tables and one representative query) so
+  * first-query startup cost is not charged to whichever query runs first.
+  */
 object Bench {
+  private def runPlan(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,14 +27,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up (excluded from the clock): prime parquet footers + codegen
+    Seq("lineitem", "orders", "customer", "part", "events", "documents",
+      "embeddings").foreach { t =>
+      try runPlan(spark.read.parquet(s"$sfDir/$t.parquet")) catch {
+        case _: Throwable => ()
+      }
+    }
+    SparkEntry.queries.get("q02_agg_pricing_summary").foreach { fn =>
+      try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

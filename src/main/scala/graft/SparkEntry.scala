@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtraQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.Round2Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtraQueries.oracles ++
-      graft.queries.SourceQueries.oracles
+      graft.queries.SourceQueries.oracles ++
+      graft.queries.Round2Queries.oracles
 }

@@ -131,12 +131,23 @@ object HtmlText {
     -1
   }
 
+  /** Numeric references decode via Character.toChars so supplementary-plane
+    * code points (e.g. &#128512; / &#x1F600;) become a proper surrogate
+    * pair instead of one truncated UTF-16 unit. Invalid code points (0,
+    * lone surrogates, > U+10FFFF) fall back to None → the raw entity text
+    * is emitted unchanged. */
+  private def fromCodePoint(cp: Int): Option[String] =
+    if (cp > 0 && cp <= Character.MAX_CODE_POINT &&
+        !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+      Some(new String(Character.toChars(cp)))
+    else None
+
   private def decodeEntity(body: String): Option[String] = {
     if (body.startsWith("#x") || body.startsWith("#X")) {
-      try Some(Integer.parseInt(body.substring(2), 16).toChar.toString)
+      try fromCodePoint(Integer.parseInt(body.substring(2), 16))
       catch { case _: Exception => None }
     } else if (body.startsWith("#")) {
-      try Some(Integer.parseInt(body.substring(1)).toChar.toString)
+      try fromCodePoint(Integer.parseInt(body.substring(1)))
       catch { case _: Exception => None }
     } else NamedEntities.get(body)
   }

@@ -42,6 +42,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is produced for zero-norm inputs even when both children are
+  // non-nullable — without this the planner could elide the null check
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -67,7 +71,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     while (j < y.numElements()) {
       val v = y.getFloat(j).toDouble; nb += v * v; j += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm / empty input → null, never NaN: Spark orders NaN above
+    // all doubles, so a NaN here would rank a zero vector FIRST in every
+    // top-k. Mirrored in doGenCode, cosineHof, and the DuckDB oracle SQL.
+    if (na * nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -95,7 +103,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |for (int $i = $n; $i < $y.numElements(); $i++) {
          |  double $v = (double) $y.getFloat($i); $nb += $v * $v;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na * $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

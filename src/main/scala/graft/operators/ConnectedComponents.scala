@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components as an iterative DataFrame fixpoint
   * (SURVEY.md §2.f; north_rule: "GraphFrames or iterative DataFrame
@@ -15,12 +16,22 @@ import org.apache.spark.sql.functions._
   * component's minimum node id (exactly the UnionFind oracle's output).
   *
   * Scale notes (the parts that matter at 10^12 edges):
-  *   - edges are symmetrized once up front and REPARTITIONED BY src so every
-  *     iteration's join/groupBy reuses one hash partitioning (no re-shuffle
-  *     of the big side beyond the label updates).
-  *   - a reliable checkpoint every iteration cuts the lineage that would
-  *     otherwise grow linearly with rounds and re-execute from the scan,
-  *     and makes a multi-hour fixpoint restartable from the last round.
+  *   - edges are symmetrized once up front, REPARTITIONED BY the join key
+  *     (v) and cached, so the big side of every round's join reuses one
+  *     partitioning instead of re-shuffling per round. (On a real cluster,
+  *     bucket-write the symmetrized edge table once for the same effect
+  *     with spill-to-disk durability.)
+  *   - per-round persistence is a PARQUET round-trip into a per-run temp
+  *     dir: it truncates lineage like a reliable checkpoint and makes a
+  *     multi-hour fixpoint restartable, but computes each round's plan
+  *     exactly ONCE (Dataset.checkpoint materializes the RDD and then
+  *     recomputes it to write the checkpoint files — 2× work per round,
+  *     the main q63 overhead in round 1).
+  *   - the convergence count reads the just-written (label-granularity,
+  *     tiny) parquet — it never re-executes the round's join.
+  *   - round n-1's files are deleted as soon as round n lands; the whole
+  *     run dir is removed by a JVM shutdown hook (the final round's files
+  *     back the returned DataFrame, so they must outlive this call).
   *   - hub skew: the neighbor-min uses groupBy(min), which does map-side
   *     partial aggregation — a degree-10^4 hub collapses to one row per
   *     input partition before the shuffle, so no salting is needed on the
@@ -29,38 +40,49 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
+  }
+
   /** @param edges DataFrame with long columns `src`, `dst`
     * @return DataFrame (node LONG, comp LONG), comp = min id in component */
   def run(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    // reliable (directory) checkpoints: truncate lineage each round AND are
-    // re-read deterministically. (localCheckpoint showed a local-mode
-    // re-read race dropping rows — see ConnectedComponentsSpec history; on
-    // a cluster you want reliable checkpoints here anyway for fault
-    // tolerance of a long fixpoint.)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    val runDir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(runDir)))
+    def persistRound(df: DataFrame, name: String): DataFrame = {
+      val path = new java.io.File(runDir, name).getAbsolutePath
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
 
     val raw = edges.selectExpr("CAST(src AS BIGINT) AS u",
       "CAST(dst AS BIGINT) AS v")
     // every endpoint is a node (self-loops contribute a node, no edge)
-    var labels = raw.select(col("u").as("node"))
-      .unionByName(raw.select(col("v").as("node")))
-      .distinct()
-      .withColumn("comp", col("node"))
-      .repartition(parts, col("node"))
-      .checkpoint()
-    // symmetrize; self-loops dropped from both directions
+    var labels = persistRound(
+      raw.select(col("u").as("node"))
+        .unionByName(raw.select(col("v").as("node")))
+        .distinct()
+        .withColumn("comp", col("node")),
+      "round_0")
+    // symmetrize once; self-loops dropped; hash-partitioned by the per-round
+    // join key and cached so rounds never re-shuffle the big side
     val e = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
-      .repartition(parts, col("u"))
-      .checkpoint()
+      .repartition(parts, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var iter = 0
     var changed = 1L
+    var prevName = "round_0"
     while (changed > 0 && iter < maxIter) {
       // 1. neighbor-min: comp of v flows to u (map-side combine on groupBy)
       val nbrMin = e.join(labels.withColumnRenamed("node", "v"), Seq("v"))
@@ -75,13 +97,16 @@ object ConnectedComponents {
       val step2 = step1.join(jump, Seq("comp1"), "left_outer")
         .select(col("node"), col("oldComp"),
           least(col("comp1"), coalesce(col("jumped"), col("comp1"))).as("comp"))
-      val next = step2
-        .repartition(parts, col("node"))
-        .checkpoint()
-      changed = next.where(col("comp") =!= col("oldComp")).count()
-      labels = next.select("node", "comp")
       iter += 1
+      val name = s"round_$iter"
+      val round = persistRound(step2, name)
+      // cheap: scans the just-written tiny parquet, no join re-execution
+      changed = round.where(col("comp") =!= col("oldComp")).count()
+      labels = round.select("node", "comp")
+      deleteRecursively(new java.io.File(runDir, prevName))
+      prevName = name
     }
+    e.unpersist(blocking = false)
     labels
   }
 }

@@ -56,13 +56,18 @@ object Dedup {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = text.split(' ')
-          val n = math.max(words.length - k + 1, 0)
+          // docs shorter than k words contribute their whole text as ONE
+          // shingle — matching shingles()'s sequence(0, greatest(size-k, 0))
+          // — instead of an all-MaxValue sentinel signature that would make
+          // every pair of short docs a false near-duplicate in every band
+          val n = math.max(words.length - k + 1, 1)
           val sig = Array.fill(numHashes)(Long.MaxValue)
           var i = 0
           while (i < n) {
             val sb = new StringBuilder
             var j = 0
-            while (j < k) {
+            val end = math.min(k, words.length - i)
+            while (j < end) {
               if (j > 0) sb.append(' ')
               sb.append(words(i + j)); j += 1
             }

@@ -33,7 +33,11 @@ object Similarity {
       (acc, v) => acc + v.cast("double") * v.cast("double"))
     val nb = aggregate(b, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
+    // zero-norm / empty input → null, never NaN (same guard as the native
+    // expression and the DuckDB oracle; NaN would sort ABOVE every real
+    // cosine in a descending top-k)
+    when(na * nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 
   /** Brute-force top-k neighbors for each of `queries` rows (small side —

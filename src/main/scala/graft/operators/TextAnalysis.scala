@@ -27,15 +27,36 @@ object TextAnalysis {
   def words(text: Column): Column = split(text, "\\s+")
 
   /** Language-ID heuristic, pure built-ins: argmax over stopword-overlap
-    * scores, zh if CJK chars present, 'und' if no signal. */
+    * scores, zh if CJK chars present, 'und' if no signal.
+    *
+    * Cost shape (round-2 rewrite): the CJK probe is `rlike` (first-match,
+    * no rewrite of the whole string — the round-1 `regexp_replace` copied
+    * every document just to test emptiness), and the per-language scores
+    * come from ONE pass that maps each distinct word to its language via a
+    * constant-folded literal map, instead of four `array_intersect` scans
+    * of the full word array. Score semantics are identical: each distinct
+    * word votes for at most one language, so counting votes per language
+    * equals |distinct words ∩ stopwords(lang)|. */
   def langId(text: Column): Column = {
-    val w = words(lower(text))
-    val scores = Stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(size(array_intersect(w, array(sw.map(lit): _*))).as("score"),
+    val w = array_distinct(words(lower(text)))
+    // word → array of languages claiming it (stopwords are shared across
+    // languages — "de"/"la"/"un"/"que" are both es and fr — so each word
+    // votes for every language that lists it, exactly like array_intersect)
+    val byWord: Seq[(String, Seq[String])] = Stopwords.toSeq
+      .flatMap { case (lang, sws) => sws.map(_ -> lang) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (word, ls) => word -> ls.map(_._2).sorted }
+    val wordToLangs = map(byWord.flatMap { case (word, ls) =>
+      Seq(lit(word), array(ls.map(lit): _*))
+    }: _*)
+    val votes = flatten(filter(
+      transform(w, x => element_at(wordToLangs, x)), a => a.isNotNull))
+    val scores = Stopwords.keys.toSeq.sorted.map { lang =>
+      struct(size(filter(votes, v => v === lang)).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
-    when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, lit("zh"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

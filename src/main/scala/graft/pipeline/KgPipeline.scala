@@ -14,6 +14,8 @@ final case class MentionRow(url: String, sentIdx: Int, mentionIdx: Int,
     entity_id: Long, score: Double)
 final case class TripleRow(subj: String, pred: String, obj: String,
     url: String, warc_ts: java.sql.Timestamp)
+final case class TripleIdRow(subjId: Long, pred: String, objId: Long,
+    url: String, warc_ts: java.sql.Timestamp)
 
 /** The KG-construction pipeline (SURVEY.md §3.2):
   *
@@ -69,16 +71,21 @@ object KgPipeline {
   }
 
   /** entity_id → canonical surface of its component representative
-    * (min entity_id), via the distributed CC fixpoint. */
+    * (min entity_id), via the distributed CC fixpoint.
+    *
+    * @param hugeEntities when the entity table is too big to broadcast,
+    *   the representative lookup runs as a sort-merge join instead */
   def canonicalMap(spark: SparkSession, entities: DataFrame,
-      aliases: DataFrame): DataFrame = {
+      aliases: DataFrame, hugeEntities: Boolean = false): DataFrame = {
     val comps = ConnectedComponents.run(spark, sameAsEdges(aliases))
+    val reps = entities.select(col("entity_id").as("comp"),
+      col("canonical").as("comp_canonical"))
+    val repsSide = if (hugeEntities) reps.hint("merge") else broadcast(reps)
     entities.join(comps.withColumnRenamed("node", "entity_id"),
         Seq("entity_id"), "left_outer")
       .withColumn("comp", coalesce(col("comp"), col("entity_id")))
       .as("e")
-      .join(broadcast(entities.select(col("entity_id").as("comp"),
-        col("canonical").as("comp_canonical"))), Seq("comp"))
+      .join(repsSide, Seq("comp"))
       .select(col("entity_id"), col("comp"), col("comp_canonical"))
   }
 
@@ -135,19 +142,39 @@ object KgPipeline {
     }
   }
 
+  /** pages → (subjId, pred, objId, url, warc_ts): the document-local path
+    * with canonicalization DEFERRED — the scale path when the canonical
+    * map outgrows a driver-side broadcast (see runWithJoinedCanon). */
+  def triplesById(pages: Dataset[Page],
+      bc: Broadcast[Model]): Dataset[TripleIdRow] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val m = bc.value
+      val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
+      it.flatMap { p =>
+        proc.process(p.html)
+          .triples.map(t =>
+            TripleIdRow(t.subjId, t.pred, t.objId, p.url, p.warc_ts))
+      }
+    }
+  }
+
   /** The broadcastable, page-count-independent part of the job: linking
     * model + connected-components canonical map. O(|entities|+|aliases|);
     * at 10^12 documents this is a fixed cost amortized to zero, so callers
     * that process many batches (bench, resume loops) build it once. */
   final case class Prepared(model: Model, canon: Map[Long, String])
 
-  def prepare(spark: SparkSession, entities: DataFrame,
-      aliases: DataFrame): Prepared = {
-    val model = buildModel(
+  private def collectModel(entities: DataFrame, aliases: DataFrame): Model =
+    buildModel(
       entities.select("entity_id", "canonical", "cls").collect().toVector
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))),
       aliases.select("alias", "entity_id", "prior").collect().toVector
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))))
+
+  def prepare(spark: SparkSession, entities: DataFrame,
+      aliases: DataFrame): Prepared = {
+    val model = collectModel(entities, aliases)
     val canon = canonicalMap(spark, entities, aliases)
       .select("entity_id", "comp_canonical").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -155,10 +182,47 @@ object KgPipeline {
   }
 
   /** End-to-end: build model + canonical map from the entity/alias tables,
-    * then run the narrow stage. */
+    * then run the narrow stage. Picks the canonicalization strategy by
+    * entity-table size: below the limit the canonical map is collected and
+    * broadcast into the fused narrow stage (zero extra shuffle); above it
+    * — where a driver-side Map would OOM — triples carry entity ids out of
+    * the narrow stage and canonicalize via a distributed sort-merge join
+    * (runWithJoinedCanon; the two paths are asserted equal in
+    * KgPipelineSpec). */
   def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
       aliases: DataFrame): Dataset[TripleRow] =
-    run(spark, pages, prepare(spark, entities, aliases))
+    run(spark, pages, entities, aliases, broadcastCanonLimit = 10000000L)
+
+  def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
+      aliases: DataFrame, broadcastCanonLimit: Long): Dataset[TripleRow] =
+    if (entities.count() <= broadcastCanonLimit)
+      run(spark, pages, prepare(spark, entities, aliases))
+    else runWithJoinedCanon(spark, pages, entities, aliases)
+
+  /** The no-driver-side-canonical-map path (README's promised fallback):
+    * the narrow stage emits id-keyed triples; subject and object resolve to
+    * canonical surfaces through sort-merge joins on entity_id against the
+    * distributed canonical map. Inner joins drop ids absent from the
+    * entity table — exactly the fused path's `canon.get` semantics
+    * (canonicalMap covers every entity via its left-outer + coalesce). */
+  def runWithJoinedCanon(spark: SparkSession, pages: Dataset[Page],
+      entities: DataFrame, aliases: DataFrame): Dataset[TripleRow] = {
+    import spark.implicits._
+    // the token-level gazetteer model is broadcast in every variant; only
+    // the entity→canonical map outgrows the driver first (README §scale)
+    val bc = spark.sparkContext.broadcast(collectModel(entities, aliases))
+    val ids = triplesById(pages, bc).toDF()
+    val canon = canonicalMap(spark, entities, aliases, hugeEntities = true)
+      .select(col("entity_id"), col("comp_canonical"))
+    ids
+      .join(canon.select(col("entity_id").as("subjId"),
+        col("comp_canonical").as("subj")).hint("merge"), Seq("subjId"))
+      .join(canon.select(col("entity_id").as("objId"),
+        col("comp_canonical").as("obj")).hint("merge"), Seq("objId"))
+      .select(col("subj"), col("pred"), col("obj"), col("url"),
+        col("warc_ts"))
+      .as[TripleRow]
+  }
 
   def run(spark: SparkSession, pages: Dataset[Page],
       prepared: Prepared): Dataset[TripleRow] = {

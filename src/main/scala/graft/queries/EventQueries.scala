@@ -69,13 +69,16 @@ object EventQueries {
           unix_timestamp(min(col("ts"))).as("first_ts"))
         .orderBy("user_id", "event_type")),
 
-    "q35_ntile_buckets" -> ((s, d) => {
-      val w = Window.orderBy(col("value").asc, col("event_id").asc)
-      events(s, d).withColumn("bucket", ntile(4).over(w))
+    "q35_ntile_buckets" -> ((s, d) =>
+      // distributed two-pass ntile (no single-partition window over the
+      // data — see DistributedRank); oracle is the plain NTILE(4)
+      graft.operators.DistributedRank.ntileBuckets(events(s, d),
+          bucket = floor(col("value") / 50.0),
+          order = Seq(col("value").asc, col("event_id").asc),
+          k = 4, ntileCol = "bucket")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total"))
-        .orderBy("bucket")
-    }),
+        .orderBy("bucket")),
 
     "q36_watermark_filter" -> ((s, d) => {
       // batch watermark: keep events within 24h of the max ts (the

@@ -28,13 +28,15 @@ object ExtraQueries {
           sum(when(col("no_order"), 1L).otherwise(0L)).as("n_null"))
         .orderBy("c_custkey")),
 
-    "q37_percent_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      orders(s, d)
-        .withColumn("pr", percent_rank().over(w))
+    "q37_percent_rank" -> ((s, d) =>
+      // distributed two-pass percent_rank (no single-partition window over
+      // the data — see DistributedRank); oracle is the plain PERCENT_RANK()
+      graft.operators.DistributedRank.percentRank(orders(s, d),
+          bucket = floor(col("o_totalprice") / 10000.0),
+          order = Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+          prCol = "pr")
         .select("o_orderkey", "pr")
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
 
     "q38_sliding_window" -> ((s, d) =>
       events(s, d)

@@ -20,10 +20,14 @@ object PipelineQueries {
   private def model(s: SparkSession) =
     s.sparkContext.broadcast(KgPipeline.fixtureModel())
 
-  private def canon(s: SparkSession) = s.sparkContext.broadcast(
-    graft.core.FixtureGen.canonicalComponentMap().map { case (e, c) =>
-      e -> graft.core.FixtureGen.entities().find(_.entity_id == c).get.canonical
-    })
+  private def canon(s: SparkSession) = {
+    val canonicalById = graft.core.FixtureGen.entities()
+      .map(e => e.entity_id -> e.canonical).toMap
+    s.sparkContext.broadcast(
+      graft.core.FixtureGen.canonicalComponentMap().map { case (e, c) =>
+        e -> canonicalById(c)
+      })
+  }
 
   val queries: Map[String, QFn] = Map(
     "q60_pipeline_text" -> ((s, d) => {

@@ -213,14 +213,27 @@ object RelationalQueries {
     }),
 
     "q25_range_join" -> ((s, d) => {
+      // range join bounded by a coarse time-bucket blocking key: a 60 s
+      // window can only span two adjacent minute buckets, so the left side
+      // explodes into (bucket, bucket+1) and the join becomes an equi-join
+      // on (user_id, bucket) with the range predicate as a residual filter.
+      // Candidates per (user, minute) are bounded by event density — no
+      // quadratic blowup on a skewed user's whole history. Each qualifying
+      // pair matches exactly one bucket value (the right side's own), so no
+      // dedup is needed and the result equals the plain range join (oracle).
+      def minuteBucket(ts: org.apache.spark.sql.Column) =
+        floor(ts.cast("timestamp_ltz").cast("double") / 60.0).cast("long")
       val e1 = events(s, d).select(col("event_id").as("a_id"),
-        col("user_id"), col("ts").as("a_ts"))
+          col("user_id"), col("ts").as("a_ts"))
+        .withColumn("jb", explode(array(minuteBucket(col("a_ts")),
+          minuteBucket(col("a_ts")) + 1L)))
       val e2 = events(s, d).select(col("event_id").as("b_id"),
-        col("user_id"), col("ts").as("b_ts"))
-      e1.join(e2, e1("user_id") === e2("user_id") &&
-          col("b_ts") > col("a_ts") &&
+          col("user_id"), col("ts").as("b_ts"))
+        .withColumn("jb", minuteBucket(col("b_ts")))
+      e1.join(e2, Seq("user_id", "jb"))
+        .where(col("b_ts") > col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 60 SECONDS"))
-        .groupBy(e1("user_id").as("user_id"))
+        .groupBy("user_id")
         .agg(count(lit(1)).as("pairs"))
         .orderBy("user_id")
     }),

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage batch: the §2.b rows the round-1 verdict flagged as
+  * missing — collect_list / collect_set / sort_array (sentence-assembly
+  * shape), rank / dense_rank (tie semantics differ from row_number, so a
+  * real correctness surface), lead, exceptAll (multiset), and
+  * array_contains / flatten. All carry DuckDB oracles.
+  *
+  * Oracle-parity notes: collected lists are serialized with array_join so
+  * the compare is over strings (list hashing differs between engines);
+  * collect_list order is made deterministic with sort_array — DuckDB's
+  * `list(x ORDER BY x)` mirrors it.
+  */
+object Round2Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "q72_collect_list" -> ((s, d) =>
+      // sentence-assembly shape: group → ordered list; collect_set for the
+      // distinct variant; sort_array for the deterministic order
+      orders(s, d).groupBy("o_custkey").agg(
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
+          .as("prios"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
+    "q73_rank_dense_rank" -> ((s, d) => {
+      // ties by design: l_quantity is integral, so rank skips and
+      // dense_rank doesn't — the semantics row_number can't exhibit
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_quantity").desc)
+      lineitem(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "rnk", "drnk")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q74_window_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          coalesce(col("next_type"), lit("none")).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    "q75_except_all" -> ((s, d) =>
+      // multiset difference: an order key with n lineitems and one orders
+      // row survives n-1 times (set-semantics except would drop it)
+      lineitem(s, d).select(col("l_orderkey").as("k"))
+        .exceptAll(orders(s, d).select(col("o_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    "q76_array_contains_flatten" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      documents(s, d).select(
+        col("doc_id"),
+        array_contains(w, "the").as("has_the"),
+        array_join(flatten(array(slice(w, 1, 3), slice(w, 4, 3))), " ")
+          .as("first6"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q72_collect_list" ->
+      """SELECT o_custkey,
+        |array_to_string(list(o_orderpriority ORDER BY o_orderpriority),
+        |  ',') AS prios,
+        |array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus),
+        |  ',') AS statuses,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q73_rank_dense_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CAST(RANK() OVER w AS INT) AS rnk,
+        |CAST(DENSE_RANK() OVER w AS INT) AS drnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q74_window_lead" ->
+      """SELECT event_id, user_id, event_type,
+        |COALESCE(LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts ASC, event_id ASC), 'none') AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q75_except_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey AS k FROM orders)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q76_array_contains_flatten" ->
+      """SELECT doc_id,
+        |list_contains(string_split(text, ' '), 'the') AS has_the,
+        |array_to_string(flatten([string_split(text, ' ')[1:3],
+        |  string_split(text, ' ')[4:6]]), ' ') AS first6
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
