@@ -48,7 +48,10 @@ object ExtraQueries {
 
     "q39_approx_distinct" -> ((s, d) =>
       // HLL++ sketch: deterministic for fixed input (rows-only check);
-      // ApproxDistinctSpec asserts ≤5% relative error vs exact
+      // FunctionsSpec asserts ≤5% relative error vs exact, and q03 is the
+      // exact-distinct twin over the SAME inputs (same grouping, same
+      // columns) with a full DuckDB oracle — so the sketch's input is
+      // oracled even though the sketch itself can't hash-match
       lineitem(s, d).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
