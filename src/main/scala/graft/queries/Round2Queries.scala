@@ -69,7 +69,34 @@ object Round2Queries {
         array_join(flatten(array(slice(w, 1, 3), slice(w, 4, 3))), " ")
           .as("first6"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q77_intersect_all" -> ((s, d) =>
+      // multiset intersect: per order key, min(total lines, lines with
+      // qty > 25) occurrences survive — set-semantics intersect would
+      // collapse them to one
+      lineitem(s, d).select(col("l_orderkey").as("k"))
+        .intersectAll(lineitem(s, d).where(col("l_quantity") > 25)
+          .select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    "q78_pivot" -> ((s, d) =>
+      // native relational pivot (q23 builds the same shape by hand with
+      // CASE); absent (priority, status) combos are null on both engines
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Q.dsum(col("o_totalprice")))
+        .orderBy("o_orderpriority")),
+
+    "q79_to_json" -> ((s, d) =>
+      // to_json closes the §2.b json-function row (get_json_object and
+      // from_json are q30/q31); long/string fields only — both engines
+      // serialize those identically (doubles would format differently)
+      events(s, d).select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +135,27 @@ object Round2Queries {
         |list_contains(string_split(text, ' '), 'the') AS has_the,
         |array_to_string(flatten([string_split(text, ' ')[1:3],
         |  string_split(text, ' ')[4:6]]), ' ') AS first6
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q77_intersect_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q78_pivot" ->
+      s"""SELECT o_orderpriority,
+         |${Q.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+         |${Q.dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+         |${Q.dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q79_to_json" ->
+      """SELECT event_id,
+        |to_json(struct_pack(event_id := event_id,
+        |  event_type := event_type)) AS j
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

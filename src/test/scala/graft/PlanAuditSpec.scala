@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for the scale-critical properties README
+  * claims: filters and column pruning reach the parquet scan, dimension
+  * joins broadcast, big equi-joins sort-merge, and the candidate-
+  * generation joins (LSH/simhash/range) NEVER degenerate into a
+  * cartesian/nested-loop product — the one plan shape that cannot
+  * survive 100×. Asserted on executed plans (post-AQE) at sf0.001.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val plan = executedPlan("q01_scan_filter_project")
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    // (the plan string truncates long filter lists — match prefixes)
+    assert(plan.contains("GreaterThan(l_quantity") &&
+      plan.contains("EqualTo(l_returnfl"), plan.take(3000))
+    // projection pruning: the scan schema must not carry untouched columns
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
+      "scan reads columns the query never touches")
+  }
+
+  test("q04 broadcasts the dimension; q05 sort-merges the fact join") {
+    assert(executedPlan("q04_join_broadcast").contains("BroadcastHashJoin"))
+    assert(executedPlan("q05_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("bucketed/banded candidate joins never plan a cartesian product") {
+    for (q <- Seq("q25_range_join", "q45_minhash_neardup", "q46_simhash",
+        "q52_embedding_neardup", "q44_ngram_jaccard")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("global sort plans a range-partitioned exchange, not a single task") {
+    val plan = executedPlan("q12_global_topk")
+    // top-k compiles to TakeOrderedAndProject — no global sort at all
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+}
