@@ -12,29 +12,47 @@ final case class Token(text: String, begin: Int, end: Int)
   */
 object Tokenizer {
 
-  /** Split extracted text into sentences (non-empty, trimmed). */
+  /** Split extracted text into sentences (non-empty, trimmed).
+    *
+    * Index-based: each sentence is ONE substring of the input instead of a
+    * StringBuilder copy + toString + trim (three copies of the whole text
+    * per document). The document path is allocation-bandwidth-bound at
+    * high core counts (BASELINE.md), so every removed copy is wall time.
+    * Semantics identical to the original builder form ('\n' is always a
+    * boundary and never part of a sentence; '.', '!', '?' end a sentence
+    * inclusively; edges trimmed of chars <= U+0020, String.trim's rule).
+    */
   def sentences(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
+    val n = text.length
+    var start = 0
     var i = 0
-    while (i < text.length) {
+    while (i < n) {
       val c = text.charAt(i)
-      if (c == '\n') { flush(cur, out) }
-      else {
-        cur.append(c)
-        if (c == '.' || c == '!' || c == '?') flush(cur, out)
+      if (c == '\n') { emitTrimmed(text, start, i, out); start = i + 1 }
+      else if (c == '.' || c == '!' || c == '?') {
+        emitTrimmed(text, start, i + 1, out); start = i + 1
       }
       i += 1
     }
-    flush(cur, out)
+    emitTrimmed(text, start, n, out)
     out.result()
   }
 
-  private def flush(cur: StringBuilder, out: collection.mutable.Builder[String, Vector[String]]): Unit = {
-    val s = cur.toString.trim
-    if (s.nonEmpty) out += s
-    cur.clear()
+  private def emitTrimmed(text: String, from: Int, until: Int,
+      out: collection.mutable.Builder[String, Vector[String]]): Unit = {
+    var a = from
+    var b = until
+    while (a < b && text.charAt(a) <= ' ') a += 1
+    while (b > a && text.charAt(b - 1) <= ' ') b -= 1
+    if (b > a) out += text.substring(a, b)
   }
+
+  /** Interned single-char strings for ASCII punctuation tokens — commas
+    * and periods are among the most frequent tokens, and a fresh String
+    * per occurrence is pure allocation-bandwidth waste. */
+  private val SingleChar: Array[String] =
+    Array.tabulate(128)(i => String.valueOf(i.toChar))
 
   /** Tokenize one sentence: maximal runs of letters/digits; every
     * punctuation character is its own token; whitespace separates. */
@@ -50,7 +68,8 @@ object Tokenizer {
         while (i < n && sentence.charAt(i).isLetterOrDigit) i += 1
         out += Token(sentence.substring(start, i), start, i)
       } else {
-        out += Token(c.toString, i, i + 1)
+        val s = if (c < 128) SingleChar(c) else String.valueOf(c)
+        out += Token(s, i, i + 1)
         i += 1
       }
     }
