@@ -57,6 +57,51 @@ object EventsStream {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** Custom keyed state via flatMapGroupsWithState: a streaming
+    * sessionizer. Per user, events extend the open session while the gap
+    * stays under 30 minutes; a larger gap CLOSES the session, which is
+    * emitted as one output row (0..n rows per group per trigger — the
+    * flatMap shape mapGroupsWithState can't express). The open session
+    * stays in the state store across triggers. StreamingSpec cross-checks
+    * the emitted closed sessions against the batch lag-gap-cumsum
+    * sessionization of the same data. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state = (sessStartEpoch, lastTsEpoch, nEvents), epochs in seconds
+    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+      .select(col("user_id"),
+        col("ts").cast("timestamp_ltz").cast("double").cast("long")
+          .as("epoch"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val closed = Vector.newBuilder[(Long, Long, Long, Long)]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              // extend at gap <= gapSeconds, split above — the same rule as
+              // the batch lag-gap-cumsum idiom (q33: new_sess when gap > 30m)
+              case Some((s0, last, n)) if t - last <= gapSeconds =>
+                cur = Some((s0, t, n + 1))
+              case Some((s0, last, n)) =>
+                closed += ((user, s0, last, n))
+                cur = Some((t, t, 1L))
+              case None =>
+                cur = Some((t, t, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF("user_id", "sess_start", "sess_end", "n_events")
+  }
+
   /** Run a streaming query over a static parquet dir to completion via the
     * memory sink (the local test harness for the streaming operators). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

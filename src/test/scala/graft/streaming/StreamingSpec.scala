@@ -43,6 +43,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the closed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream4").toString
+    spark.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/ev")
+
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.sessionizeStream(spark, s"$tmp/ev"), "sessions", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // batch oracle: lag-gap-cumsum sessions (q33 idiom), minus each user's
+    // chronologically-last session (still open in the state store)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch").asc, col("event_id").asc)
+    val sess = spark.read.parquet(s"$tmp/ev")
+      .withColumn("epoch",
+        col("ts").cast("timestamp_ltz").cast("double").cast("long"))
+      .withColumn("prev", lag(col("epoch"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("epoch") - col("prev") > 1800L, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("epoch")).as("sess_start"), max(col("epoch")).as("sess_end"),
+        count(lit(1)).as("n_events"))
+    val lastSess = sess.groupBy("user_id")
+      .agg(max(col("sess_id")).as("sess_id"))
+    val closed = sess.join(lastSess, Seq("user_id", "sess_id"), "left_anti")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == closed)
+    assert(closed.nonEmpty, "fixture must contain closed sessions")
+  }
+
   test("streaming dedup within watermark emits each event once") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
