@@ -97,4 +97,53 @@ object Multimodal {
       it.map(m => (m.media_id, FakeCodec.features(m.payload, dim).toSeq))
     }.toDF("media_id", "features")
   }
+
+  /** resize → binary-to-binary typed map: new header with the target
+    * dimensions, body nearest-neighbor-resampled so output size scales
+    * with the pixel count. STUB resample (real codecs absent — see the
+    * banner); the output round-trips through decode, which is the
+    * plumbing contract a real resizer must also satisfy. */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val meta = FakeCodec.decode(m.payload)
+        val body = m.payload.drop(8)
+        val outLen = math.max(1,
+          (body.length.toLong * (targetW.toLong * targetH) /
+            math.max(1L, meta.width.toLong * meta.height)).toInt)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) {
+          // nearest-neighbor index into the source body
+          out(i) = body(((i.toLong * body.length) / outLen).toInt)
+          i += 1
+        }
+        val fmt: Byte = if (meta.format == "img") 0 else 1
+        MediaRow(m.media_id, m.kind,
+          FakeCodec.encodeHeader(targetW, targetH, meta.channels, fmt) ++ out)
+      }
+    }
+  }
+
+  /** frame sampling → generator (0..n rows per media row): the payload
+    * body is treated as a sequence of `width`-byte frames and every k-th
+    * frame is emitted as its own BINARY row. The flatMap-over-binary shape
+    * (and the frame row schema) is what a real video frame sampler needs;
+    * only the frame decode itself is synthetic. */
+  def frameSample(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val meta = FakeCodec.decode(m.payload)
+      val body = m.payload.drop(8)
+      val frameLen = math.max(1, meta.width)
+      val nFrames = body.length / frameLen
+      (0 until nFrames by everyK).map { f =>
+        (m.media_id, f, body.slice(f * frameLen, (f + 1) * frameLen))
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
 }

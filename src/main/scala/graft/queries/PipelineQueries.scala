@@ -79,6 +79,25 @@ object PipelineQueries {
           round(aggregate(col("features"), lit(0.0),
             (acc, v) => acc + v.cast("double")), 5).as("feature_sum"))
         .orderBy("media_id")
+    }),
+
+    "q80_multimodal_resize" -> ((s, d) => {
+      // binary→binary resize; output round-trips through decode
+      val media = Multimodal.syntheticMedia(documents(s, d))
+      Multimodal.decodeMeta(Multimodal.resize(media, 32, 32))
+        .groupBy("width", "height", "format")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("format")
+    }),
+
+    "q81_frame_sample" -> ((s, d) => {
+      // generator over binary payloads: every 4th width-byte frame
+      val media = Multimodal.syntheticMedia(documents(s, d))
+      Multimodal.frameSample(media, everyK = 4)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))
+        .orderBy("media_id")
     })
   )
 

@@ -192,6 +192,35 @@ class OperatorsSpec extends SparkTestBase {
 
   // ---------------- multimodal plumbing ----------------
 
+  test("multimodal: resize round-trips with target dims, scaled body") {
+    import spark.implicits._
+    val docs = Seq((4L, "x" * 100), (5L, "y" * 200)).toDF("doc_id", "text")
+    val resized = Multimodal.resize(Multimodal.syntheticMedia(docs), 32, 32)
+    val meta = Multimodal.decodeMeta(resized).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(meta(4L) == ((32, 32)) && meta(5L) == ((32, 32)))
+    // determinism: same input → byte-identical payload
+    val a = resized.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    val b = Multimodal.resize(Multimodal.syntheticMedia(docs), 32, 32)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("multimodal: frameSample emits every k-th width-byte frame") {
+    import spark.implicits._
+    val docs = Seq((4L, "abcdefghij" * 20)).toDF("doc_id", "text") // 200 B
+    val media = Multimodal.syntheticMedia(docs)
+    val m = media.collect().head
+    val meta = Multimodal.FakeCodec.decode(m.payload)
+    val frames = Multimodal.frameSample(media, everyK = 2).collect()
+    val body = m.payload.drop(8)
+    val expected = (body.length / meta.width + 1) / 2
+    assert(frames.length == expected, s"got ${frames.length}, want $expected")
+    val f0 = frames.find(_.getInt(1) == 0).get.getAs[Array[Byte]]("frame")
+    assert(f0.toSeq == body.take(meta.width).toSeq)
+  }
+
   test("multimodal: decode meta round-trips the synthetic header") {
     import spark.implicits._
     val docs = Seq((5L, "hello world media payload")).toDF("doc_id", "text")
