@@ -27,7 +27,11 @@ object DocPipeline {
       endTok: Int, cls: String, surface: String, entityId: Long,
       score: Double)
   final case class DocTriple(subjId: Long, pred: String, objId: Long)
-  final case class DocResult(text: String, sentences: Vector[DocSentence],
+  // no `text` field: the narrow stage consumes sentences/mentions/triples
+  // only, and the fused html→sentences extractor (HtmlText.extractSentences)
+  // never materializes the full normalized text — the extractText STAGE
+  // (which must produce byte-identical text) uses HtmlText.extract directly
+  final case class DocResult(sentences: Vector[DocSentence],
       mentions: Vector[DocMention], triples: Vector[DocTriple])
 
   /** One-shot convenience (tests); Spark stages use a DocProcessor. */
@@ -45,8 +49,9 @@ final class DocProcessor(gaz: NerModel.Gazetteer,
   private val scratch = new NerModel.Scratch
 
   def process(html: Array[Byte]): DocResult = {
-    val text = HtmlText.extract(html)
-    val sents = Tokenizer.sentences(text)
+    // fused: sentences straight from the tag-stripping state machine —
+    // equals Tokenizer.sentences(HtmlText.extract(html)), property-tested
+    val sents = HtmlText.extractSentences(html)
     val sentences = Vector.newBuilder[DocSentence]
     val mentions = Vector.newBuilder[DocMention]
     val triples = Vector.newBuilder[DocTriple]
@@ -89,6 +94,6 @@ final class DocProcessor(gaz: NerModel.Gazetteer,
       }
       si += 1
     }
-    DocResult(text, sentences.result(), mentions.result(), triples.result())
+    DocResult(sentences.result(), mentions.result(), triples.result())
   }
 }

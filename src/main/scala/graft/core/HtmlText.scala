@@ -43,13 +43,38 @@ object HtmlText {
   def extractBytes(html: Array[Byte]): Array[Byte] =
     extract(html).getBytes(StandardCharsets.UTF_8)
 
-  /** Fused extraction + normalization state machine. */
-  def extractFromString(html: String): String = {
-    val sb = new StringBuilder(math.min(html.length, 1 << 16))
-    var pendingNewline = false
-    var pendingSpace = false
+  /** Fused extraction + SENTENCE splitting: the triples narrow stage only
+    * needs sentences, so skipping the full normalized-text String (one
+    * whole-document StringBuilder + toString per page) is a measurable
+    * allocation-bandwidth win at high core counts (BASELINE.md). Produces
+    * exactly `Tokenizer.sentences(extract(html))` — property-tested in
+    * CoreSpec over fixture pages and adversarial HTML. */
+  def extractSentences(html: Array[Byte]): Vector[String] =
+    extractSentencesFromString(new String(html, StandardCharsets.UTF_8))
 
-    @inline def emit(c: Char): Unit = {
+  def extractSentencesFromString(html: String): Vector[String] = {
+    val sink = new SentenceSink
+    scanHtml(html, sink)
+    sink.result()
+  }
+
+  /** Fused extraction + whitespace-normalization state machine. */
+  def extractFromString(html: String): String = {
+    val sink = new TextSink(math.min(html.length, 1 << 16))
+    scanHtml(html, sink)
+    sink.result()
+  }
+
+  private sealed trait CharSink { def emit(c: Char): Unit }
+
+  /** Normalizing sink: '\n' between content blocks, single spaces, no
+    * leading/trailing whitespace per line (the byte-identical contract). */
+  private final class TextSink(capacity: Int) extends CharSink {
+    private val sb = new StringBuilder(capacity)
+    private var pendingNewline = false
+    private var pendingSpace = false
+
+    def emit(c: Char): Unit = {
       if (c == '\n' || c == '\r') {
         pendingNewline = true
         pendingSpace = false
@@ -69,6 +94,46 @@ object HtmlText {
       }
     }
 
+    def result(): String = sb.toString
+  }
+
+  /** Sentence sink: emits trimmed sentences directly — equivalent to
+    * running Tokenizer.sentences over TextSink's output ('\n' is always a
+    * boundary; '.', '!', '?' close a sentence inclusively; space runs
+    * collapse; edges trimmed of chars <= U+0020). */
+  private final class SentenceSink extends CharSink {
+    private val out = Vector.newBuilder[String]
+    private val sb = new java.lang.StringBuilder(256)
+    private var pendingSpace = false
+
+    private def flush(): Unit = {
+      var a = 0
+      var b = sb.length
+      while (a < b && sb.charAt(a) <= ' ') a += 1
+      while (b > a && sb.charAt(b - 1) <= ' ') b -= 1
+      if (b > a) out += sb.substring(a, b)
+      sb.setLength(0)
+      pendingSpace = false
+    }
+
+    def emit(c: Char): Unit = {
+      if (c == '\n' || c == '\r') flush()
+      else if (c == ' ' || c == '\t') {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        if (c == '.' || c == '!' || c == '?') flush()
+      }
+    }
+
+    def result(): Vector[String] = { flush(); out.result() }
+  }
+
+  /** The tag/comment/script/entity scanner, shared by both sinks so the
+    * text and sentence paths can never drift structurally. */
+  private def scanHtml(html: String, sink: CharSink): Unit = {
+    @inline def emit(c: Char): Unit = sink.emit(c)
     var i = 0
     val n = html.length
     while (i < n) {
@@ -109,7 +174,6 @@ object HtmlText {
         } else { emit(c); i += 1 }
       } else { emit(c); i += 1 }
     }
-    sb.toString
   }
 
   private def tagName(inner: String): String = {

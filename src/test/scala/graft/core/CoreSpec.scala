@@ -164,6 +164,36 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("fused extractSentences == Tokenizer.sentences ∘ extract (fixtures)") {
+    (0L until 300L).foreach { id =>
+      val p = FixtureGen.page(id)
+      assert(HtmlText.extractSentences(p.html) ==
+        Tokenizer.sentences(HtmlText.extract(p.html)), s"page $id")
+    }
+  }
+
+  test("fused extractSentences == Tokenizer.sentences ∘ extract (adversarial)") {
+    // random soups of tags, comments, scripts, entities, punctuation,
+    // control chars, and whitespace — the two paths share the scanner, so
+    // this pins the sink equivalence (boundary, trim, space-collapse rules)
+    val rng = new Rng(0xabcdL)
+    val pieces = Array(
+      "a", "bb", ".", "!", "?", " ", "\t", "\n", "\r\n", "<p>", "</p>",
+      "<b>", "</b>", "<br>", "<div >", "&amp;", "&#97;", "&#x41;", "&nbsp;",
+      "&bogus;", "&#xD800;", "<!-- c -->", "<script>x<y</script>",
+      "<style>p{}</style>", "", "..", "x.y", "<", ">", "&",
+      "<title>t</title>", "Report 7", "中")
+    (0 until 2000).foreach { trial =>
+      val n = 1 + rng.nextInt(40)
+      val html = new StringBuilder
+      (0 until n).foreach(_ => html.append(pieces(rng.nextInt(pieces.length))))
+      val s = html.toString
+      assert(HtmlText.extractSentencesFromString(s) ==
+        Tokenizer.sentences(HtmlText.extractFromString(s)),
+        s"trial $trial input=$s")
+    }
+  }
+
   test("determinism: same page id generates identical bytes") {
     val a = FixtureGen.page(7L)
     val b = FixtureGen.page(7L)
