@@ -96,7 +96,43 @@ object Round2Queries {
       // serialize those identically (doubles would format differently)
       events(s, d).select(col("event_id"),
         to_json(struct(col("event_id"), col("event_type"))).as("j"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    "q82_sql_text" -> ((s, d) => {
+      // the SQL-text surface: the same Catalyst engine behind the
+      // DataFrame DSL, driven by spark.sql over registered views — a user
+      // of the engine can run plain SQL strings
+      orders(s, d).createOrReplaceTempView("orders_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+              |  AS total
+              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+              |WHERE o_orderstatus = 'O'
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    "q83_percentile" -> ((s, d) =>
+      // exact (sort-based) continuous percentile; quantity is integral so
+      // the interpolated values are exactly representable in both engines
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag")),
+
+    "q84_first_last_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        coalesce(nth_value(col("event_type"), 2).over(w), lit("none"))
+          .as("second_type"))
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,6 +192,30 @@ object Round2Queries {
       """SELECT event_id,
         |to_json(struct_pack(event_id := event_id,
         |  event_type := event_type)) AS j
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q82_sql_text" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q83_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q84_first_last_nth" ->
+      """SELECT event_id, user_id,
+        |FIRST_VALUE(event_type) OVER w AS first_type,
+        |LAST_VALUE(event_type) OVER w AS last_type,
+        |COALESCE(NTH_VALUE(event_type, 2) OVER w, 'none') AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin
   )
 }
