@@ -50,5 +50,22 @@ object SentenceProbe {
     run("fused", h => HtmlText.extractSentences(h).length)
     run("unfused", h => Tokenizer.sentences(HtmlText.extract(h)).length)
     run("fused", h => HtmlText.extractSentences(h).length)
+
+    // Viterbi: structured-transition fast path vs dense k² reference
+    val model = graft.pipeline.KgPipeline.fixtureModel()
+    val scratchPool = new ThreadLocal[graft.core.NerModel.Scratch] {
+      override def initialValue() = new graft.core.NerModel.Scratch
+    }
+    def sentsOf(h: Array[Byte]): Vector[Vector[String]] =
+      HtmlText.extractSentences(h).map(s =>
+        Tokenizer.tokenize(s).map(_.text))
+    run("vit-fast", h => sentsOf(h).map(t =>
+      graft.core.NerModel.tagArray(t, model.gaz, scratchPool.get()).length).sum)
+    run("vit-dense", h => sentsOf(h).map(t =>
+      graft.core.NerModel.tagArrayDense(t, model.gaz, scratchPool.get()).length).sum)
+    run("vit-fast", h => sentsOf(h).map(t =>
+      graft.core.NerModel.tagArray(t, model.gaz, scratchPool.get()).length).sum)
+    run("vit-dense", h => sentsOf(h).map(t =>
+      graft.core.NerModel.tagArrayDense(t, model.gaz, scratchPool.get()).length).sum)
   }
 }

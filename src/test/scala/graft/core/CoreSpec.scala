@@ -76,6 +76,30 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("structured Viterbi == dense-matrix Viterbi (fixtures + random)") {
+    val scratch = new NerModel.Scratch
+    val scratch2 = new NerModel.Scratch
+    (0L until 200L).foreach { id =>
+      FixtureGen.page(id).sentences.foreach { gs =>
+        assert(NerModel.tagArray(gs.tokens, gaz, scratch).toSeq ==
+          NerModel.tagArrayDense(gs.tokens, gaz, scratch2).toSeq,
+          s"page $id sent ${gs.sentIdx}")
+      }
+    }
+    // adversarial soups: gazetteer words (begin/inside of multi-token
+    // aliases), capitalized strays, plain words, punctuation
+    val words = FixtureGen.aliases().flatMap(a => a.alias.split(' ')).distinct
+      .take(40) ++ Vector("the", "Xyz", "zz", ".", ",", "Alice", "7")
+    val rng = new Rng(0x7e57L)
+    (0 until 2000).foreach { trial =>
+      val n = 1 + rng.nextInt(12)
+      val toks = Vector.fill(n)(words(rng.nextInt(words.length)))
+      assert(NerModel.tagArray(toks, gaz, scratch).toSeq ==
+        NerModel.tagArrayDense(toks, gaz, scratch2).toSeq,
+        s"trial $trial toks=$toks")
+    }
+  }
+
   // ---- HtmlText ∘ render = golden text (byte-identical) ----
 
   test("extract(render(page)) is byte-identical to golden text") {
