@@ -7,6 +7,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 final case class PageText(url: String, text: String)
+/** The columns the narrow stages actually consume. Deserializing the full
+  * Page encoder would force the scan to read `text`/`lang` too — null at
+  * fixture scale, but on a real pages table (text filled by the extract
+  * stage) that is a 2× scan for nothing. Every stage narrows to this
+  * internally, so column pruning reaches the parquet scan regardless of
+  * what the caller hands in (asserted in ResumeSpec's plan check). */
+final case class PageRaw(url: String, warc_ts: java.sql.Timestamp,
+    html: Array[Byte])
 final case class SentenceRow(url: String, sentIdx: Int, tokens: Seq[String],
     tags: Seq[String])
 final case class MentionRow(url: String, sentIdx: Int, mentionIdx: Int,
@@ -91,14 +99,22 @@ object KgPipeline {
 
   // ---------------- fused narrow stages ----------------
 
+  /** Narrow any pages input to the columns the stages read — the project
+    * sits directly over the scan, so Catalyst prunes `text`/`lang` out of
+    * the parquet read. */
+  private def raw(pages: Dataset[Page]): Dataset[PageRaw] = {
+    import pages.sparkSession.implicits._
+    pages.select(col("url"), col("warc_ts"), col("html")).as[PageRaw]
+  }
+
   def extractText(pages: Dataset[Page]): Dataset[PageText] = {
     import pages.sparkSession.implicits._
-    pages.map(p => PageText(p.url, HtmlText.extract(p.html)))
+    raw(pages).map(p => PageText(p.url, HtmlText.extract(p.html)))
   }
 
   def sentences(pages: Dataset[Page], bc: Broadcast[Model]): Dataset[SentenceRow] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
+    raw(pages).mapPartitions { it =>
       val m = bc.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
@@ -110,7 +126,7 @@ object KgPipeline {
 
   def mentions(pages: Dataset[Page], bc: Broadcast[Model]): Dataset[MentionRow] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
+    raw(pages).mapPartitions { it =>
       val m = bc.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
@@ -126,7 +142,7 @@ object KgPipeline {
   def triples(pages: Dataset[Page], bc: Broadcast[Model],
       bcCanon: Broadcast[Map[Long, String]]): Dataset[TripleRow] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
+    raw(pages).mapPartitions { it =>
       val m = bc.value
       val canon = bcCanon.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
@@ -148,7 +164,7 @@ object KgPipeline {
   def triplesById(pages: Dataset[Page],
       bc: Broadcast[Model]): Dataset[TripleIdRow] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
+    raw(pages).mapPartitions { it =>
       val m = bc.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
@@ -246,7 +262,7 @@ object KgPipeline {
     val bc = spark.sparkContext.broadcast(Model(model.gaz, Map.empty))
 
     // mentions with their context window, NO linking yet
-    val ment = pages.mapPartitions { it =>
+    val ment = raw(pages).mapPartitions { it =>
       val m = bc.value
       it.flatMap { p =>
         val res = DocPipeline.process(p.html, m.gaz, Map.empty,

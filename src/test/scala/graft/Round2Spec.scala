@@ -167,6 +167,26 @@ class Round2Spec extends SparkTestBase {
     assert(j.except(viaBroadcast).isEmpty && viaBroadcast.except(j).isEmpty)
   }
 
+  test("triples stage prunes text/lang out of the parquet pages scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftprune").toString
+    FixtureSpark.pages(spark, 50L, 4).write.parquet(s"$tmp/pages")
+    val pages = spark.read.parquet(s"$tmp/pages")
+      .as[graft.pipeline.Page]
+    val prep = KgPipeline.prepare(spark, FixtureSpark.entities(spark),
+      FixtureSpark.aliases(spark))
+    val t = KgPipeline.run(spark, pages, prep).toDF()
+    t.collect()
+    val plan = t.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no FileScan in plan: ${plan.take(1500)}"))
+    // ReadSchema must carry only url/warc_ts/html — on a real pages table
+    // `text` is document-sized; reading it here would double the scan
+    assert(!scanLine.contains("text") && !scanLine.contains("lang"),
+      scanLine)
+    assert(scanLine.contains("html"), scanLine)
+  }
+
   test("run() dispatches to the joined path above the broadcast limit") {
     val pages = FixtureSpark.pages(spark, 60L, 4)
     val ents = FixtureSpark.entities(spark)
