@@ -132,7 +132,22 @@ object Round2Queries {
         coalesce(nth_value(col("event_type"), 2).over(w), lit("none"))
           .as("second_type"))
         .orderBy("event_id")
-    })
+    }),
+
+    "q85_datetrunc_parse" -> ((s, d) =>
+      // string-log ingest shape: timestamps arrive as strings, get parsed
+      // with to_timestamp, and roll up by date_trunc'd day
+      events(s, d)
+        .withColumn("ts_str",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("parsed",
+          to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy(date_format(date_trunc("day", col("parsed")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          unix_timestamp(max(col("parsed"))).as("last_epoch"))
+        .orderBy("day"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +231,14 @@ object Round2Queries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q85_datetrunc_parse" ->
+      """SELECT strftime(date_trunc('day', parsed), '%Y-%m-%d') AS day,
+        |COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+        |CAST(floor(epoch(MAX(parsed))) AS BIGINT) AS last_epoch
+        |FROM (SELECT strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |  '%Y-%m-%d %H:%M:%S') AS parsed, user_id FROM events)
+        |GROUP BY 1 ORDER BY day""".stripMargin
   )
 }
