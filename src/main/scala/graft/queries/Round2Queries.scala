@@ -147,7 +147,30 @@ object Round2Queries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
           unix_timestamp(max(col("parsed"))).as("last_epoch"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    "q86_tpch_q5_shape" -> ((s, d) =>
+      // the classic 6-table analytical join (TPC-H Q5 shape): two fact
+      // joins sort-merge/shuffle, three dimension joins broadcast, filters
+      // pushed into the scans, AQE free to re-plan at runtime — also the
+      // only query that exercises the nation/region driver tables
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name").asc))
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +262,23 @@ object Round2Queries {
         |CAST(floor(epoch(MAX(parsed))) AS BIGINT) AS last_epoch
         |FROM (SELECT strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
         |  '%Y-%m-%d %H:%M:%S') AS parsed, user_id FROM events)
-        |GROUP BY 1 ORDER BY day""".stripMargin
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q86_tpch_q5_shape" ->
+      s"""SELECT n_name,
+         |${Q.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin
   )
 }
