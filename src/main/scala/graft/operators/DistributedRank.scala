@@ -33,7 +33,10 @@ object DistributedRank {
 
   /** Adds `rnCol` (1-based global row number over `order`) and `totalCol`
     * (total row count) to `df`. `order` must be a total order (include a
-    * unique tie-breaker); `bucket` must be monotone w.r.t. `order`. */
+    * unique tie-breaker); `bucket` must be monotone w.r.t. `order`.
+    * Precondition: the order/bucket columns are non-null — a null bucket
+    * would drop its rows at the offsets equi-join (coalesce nulls to a
+    * sentinel bucket first if the data can contain them). */
   def withGlobalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       rnCol: String, totalCol: String): DataFrame = {
     val b = df.withColumn("__rank_bucket", bucket)
