@@ -99,9 +99,19 @@ object ConnectedComponents {
           least(col("comp1"), coalesce(col("jumped"), col("comp1"))).as("comp"))
       iter += 1
       val name = s"round_$iter"
-      val round = persistRound(step2, name)
-      // cheap: scans the just-written tiny parquet, no join re-execution
-      changed = round.where(col("comp") =!= col("oldComp")).count()
+      // convergence count piggybacks on the write pass via an accumulator:
+      // ONE Spark job per round instead of write + count. A retried task
+      // can only double-count real changes (rows recompute
+      // deterministically), so `changed` may overshoot but is never a
+      // false zero — worst case is one extra (no-op) iteration.
+      val changeAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      import spark.implicits._
+      val counted = step2.as[(Long, Long, Long)].map { row =>
+        if (row._2 != row._3) changeAcc.add(1L)
+        row
+      }.toDF("node", "oldComp", "comp")
+      val round = persistRound(counted, name)
+      changed = changeAcc.value
       labels = round.select("node", "comp")
       deleteRecursively(new java.io.File(runDir, prevName))
       prevName = name
