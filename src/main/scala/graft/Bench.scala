@@ -43,8 +43,10 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records the -1 sentinel, never a fast-looking time
+      val t = try { runPlan(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -49,14 +49,25 @@ object ConnectedComponents {
     ()
   }
 
+  /** ONE JVM shutdown hook for all runs (repeated run() calls in a
+    * long-lived driver must not accumulate hook threads); each run
+    * registers its temp dir here and the hook sweeps whatever remains. */
+  private val pendingDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      pendingDirs.forEach(d => deleteRecursively(d))))
+    true
+  }
+
   /** @param edges DataFrame with long columns `src`, `dst`
     * @return DataFrame (node LONG, comp LONG), comp = min id in component */
   def run(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val runDir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => deleteRecursively(runDir)))
+    require(hookInstalled)
+    pendingDirs.add(runDir)
     def persistRound(df: DataFrame, name: String): DataFrame = {
       val path = new java.io.File(runDir, name).getAbsolutePath
       df.write.mode("overwrite").parquet(path)

@@ -111,9 +111,14 @@ object Multimodal {
       it.map { m =>
         val meta = FakeCodec.decode(m.payload)
         val body = m.payload.drop(8)
-        val outLen = math.max(1,
-          (body.length.toLong * (targetW.toLong * targetH) /
-            math.max(1L, meta.width.toLong * meta.height)).toInt)
+        // Long arithmetic + an upper cap: a large upscale must not wrap
+        // Int-negative; a header-only payload yields an empty body
+        val outLen =
+          if (body.isEmpty) 0
+          else math.min(
+            math.max(1L, body.length.toLong * (targetW.toLong * targetH) /
+              math.max(1L, meta.width.toLong * meta.height)),
+            64L * 1024 * 1024).toInt
         val out = new Array[Byte](outLen)
         var i = 0
         while (i < outLen) {

@@ -210,23 +210,46 @@ object KgPipeline {
     run(spark, pages, entities, aliases, broadcastCanonLimit = 10000000L)
 
   def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
-      aliases: DataFrame, broadcastCanonLimit: Long): Dataset[TripleRow] =
-    if (entities.count() <= broadcastCanonLimit)
+      aliases: DataFrame, broadcastCanonLimit: Long): Dataset[TripleRow] = {
+    // size probe capped at limit+1 rows — never a full count of a huge table
+    val probe = entities.select("entity_id")
+      .limit(math.min(broadcastCanonLimit + 1, Int.MaxValue.toLong).toInt)
+      .count()
+    if (probe <= broadcastCanonLimit)
       run(spark, pages, prepare(spark, entities, aliases))
     else runWithJoinedCanon(spark, pages, entities, aliases)
+  }
 
   /** The no-driver-side-canonical-map path (README's promised fallback):
     * the narrow stage emits id-keyed triples; subject and object resolve to
     * canonical surfaces through sort-merge joins on entity_id against the
     * distributed canonical map. Inner joins drop ids absent from the
     * entity table — exactly the fused path's `canon.get` semantics
-    * (canonicalMap covers every entity via its left-outer + coalesce). */
+    * (canonicalMap covers every entity via its left-outer + coalesce).
+    *
+    * Driver-memory contract on this path: only the ALIAS-granularity model
+    * is materialized (the gazetteer/candidate map — the NER "model", which
+    * must broadcast in any design); the entity table itself is touched
+    * only through distributed joins, so |entities| >> |aliases| never
+    * lands on the driver. */
   def runWithJoinedCanon(spark: SparkSession, pages: Dataset[Page],
       entities: DataFrame, aliases: DataFrame): Dataset[TripleRow] = {
     import spark.implicits._
-    // the token-level gazetteer model is broadcast in every variant; only
-    // the entity→canonical map outgrows the driver first (README §scale)
-    val bc = spark.sparkContext.broadcast(collectModel(entities, aliases))
+    // (alias, entity_id, prior, cls): classes resolved by a DISTRIBUTED
+    // join to the entity table, then collected at alias granularity
+    val aliasRows = aliases.select("alias", "entity_id", "prior")
+      .join(entities.select(col("entity_id"),
+        col("cls").as("__cls")), Seq("entity_id"))
+      .select("alias", "entity_id", "prior", "__cls")
+      .collect()
+    val gaz = NerModel.Gazetteer.fromAliases(
+      aliasRows.map(r => r.getString(0) -> r.getString(3)))
+    val aliasMap: DocPipeline.AliasMap = aliasRows
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(a => (a._2, a._3)).sortBy(_._1).toVector
+      }
+    val bc = spark.sparkContext.broadcast(Model(gaz, aliasMap))
     val ids = triplesById(pages, bc).toDF()
     val canon = canonicalMap(spark, entities, aliases, hugeEntities = true)
       .select(col("entity_id"), col("comp_canonical"))

@@ -64,7 +64,15 @@ object EventsStream {
     * flatMap shape mapGroupsWithState can't express). The open session
     * stays in the state store across triggers. StreamingSpec cross-checks
     * the emitted closed sessions against the batch lag-gap-cumsum
-    * sessionization of the same data. */
+    * sessionization of the same data.
+    *
+    * Late-data contract: events are time-sorted WITHIN each trigger; an
+    * event older than the open session's last timestamp (late across
+    * triggers) is DROPPED — the zero-lateness-watermark policy — instead
+    * of extending a session backwards in time. Production deployments
+    * wanting bounded state and final-session emission should pair this
+    * with `withWatermark` + `GroupStateTimeout.EventTimeTimeout`; the
+    * NoTimeout form here matches the run-to-completion test harness. */
   def sessionizeStream(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L): DataFrame = {
     import spark.implicits._
@@ -85,6 +93,9 @@ object EventsStream {
           var cur = state.getOption
           ts.foreach { t =>
             cur match {
+              // late across triggers (older than the open session's end):
+              // drop, never extend a session backwards
+              case Some((_, last, _)) if t < last => ()
               // extend at gap <= gapSeconds, split above — the same rule as
               // the batch lag-gap-cumsum idiom (q33: new_sess when gap > 30m)
               case Some((s0, last, n)) if t - last <= gapSeconds =>

@@ -207,6 +207,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("multimodal: resize survives empty bodies and huge upscales") {
+    import spark.implicits._
+    val docs = Seq((6L, "")).toDF("doc_id", "text") // header-only payload
+    val resized = Multimodal.resize(Multimodal.syntheticMedia(docs), 32, 32)
+      .collect()
+    assert(resized.head.payload.length == 8, "empty body stays empty")
+    val big = Seq((7L, "x" * 1000)).toDF("doc_id", "text")
+    val up = Multimodal.resize(Multimodal.syntheticMedia(big), 4096, 4096)
+      .collect() // must not wrap Int-negative
+    assert(up.head.payload.length > 8)
+  }
+
   test("multimodal: frameSample emits every k-th width-byte frame") {
     import spark.implicits._
     val docs = Seq((4L, "abcdefghij" * 20)).toDF("doc_id", "text") // 200 B
