@@ -94,6 +94,7 @@ object ConnectedComponents {
     var iter = 0
     var changed = 1L
     var prevName = "round_0"
+    try {
     while (changed > 0 && iter < maxIter) {
       // 1. neighbor-min: comp of v flows to u (map-side combine on groupBy)
       val nbrMin = e.join(labels.withColumnRenamed("node", "v"), Seq("v"))
@@ -127,7 +128,11 @@ object ConnectedComponents {
       deleteRecursively(new java.io.File(runDir, prevName))
       prevName = name
     }
-    e.unpersist(blocking = false)
+    } finally {
+      // release the cached edge set even when a round throws — a failed
+      // fixpoint must not pin MEMORY_AND_DISK blocks for the session
+      e.unpersist(blocking = false)
+    }
     labels
   }
 }

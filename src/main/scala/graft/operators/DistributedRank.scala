@@ -39,6 +39,12 @@ object DistributedRank {
     * sentinel bucket first if the data can contain them). */
   def withGlobalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       rnCol: String, totalCol: String): DataFrame = {
+    // fail fast instead of silently clobbering a caller column that
+    // collides with the internal working names
+    Seq("__rank_bucket", "__offset", rnCol, totalCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c'")
+    }
     val b = df.withColumn("__rank_bucket", bucket)
     // one row per bucket — the single-partition windows below are over this
     // tiny table, not the data
@@ -76,6 +82,10 @@ object DistributedRank {
     * floor(n/k) — inverted here from the global row number. */
   def ntileBuckets(df: DataFrame, bucket: Column, order: Seq[Column],
       k: Int, ntileCol: String): DataFrame = {
+    Seq("__small", "__rem", "__big", ntileCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named '$c'")
+    }
     // integral floor-division: Spark's `/` on longs is a double Divide
     def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val kL = lit(k.toLong)

@@ -139,6 +139,7 @@ object Multimodal {
     * (and the frame row schema) is what a real video frame sampler needs;
     * only the frame decode itself is synthetic. */
   def frameSample(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>

@@ -236,11 +236,17 @@ object KgPipeline {
       entities: DataFrame, aliases: DataFrame): Dataset[TripleRow] = {
     import spark.implicits._
     // (alias, entity_id, prior, cls): classes resolved by a DISTRIBUTED
-    // join to the entity table, then collected at alias granularity
+    // join to the entity table, then collected at alias granularity.
+    // LEFT join: an alias with a dangling entity_id keeps its candidate
+    // row with cls "" (skipped by the gazetteer, kept by the linker) —
+    // exactly buildModel's clsById.getOrElse(_, "") semantics, so the
+    // broadcast and joined paths stay output-identical even on FK-dirty
+    // alias tables.
     val aliasRows = aliases.select("alias", "entity_id", "prior")
       .join(entities.select(col("entity_id"),
-        col("cls").as("__cls")), Seq("entity_id"))
-      .select("alias", "entity_id", "prior", "__cls")
+        col("cls").as("__cls")), Seq("entity_id"), "left_outer")
+      .select(col("alias"), col("entity_id"), col("prior"),
+        coalesce(col("__cls"), lit("")).as("__cls"))
       .collect()
     val gaz = NerModel.Gazetteer.fromAliases(
       aliasRows.map(r => r.getString(0) -> r.getString(3)))
