@@ -67,5 +67,14 @@ object SentenceProbe {
       graft.core.NerModel.tagArray(t, model.gaz, scratchPool.get()).length).sum)
     run("vit-dense", h => sentsOf(h).map(t =>
       graft.core.NerModel.tagArrayDense(t, model.gaz, scratchPool.get()).length).sum)
+
+    // the WHOLE per-document path sans Spark: separates core compute from
+    // scan/encoder/write overhead when compared with the pipeline bench
+    val procPool = new ThreadLocal[graft.core.DocProcessor] {
+      override def initialValue() = new graft.core.DocProcessor(
+        model.gaz, model.aliasMap, graft.core.FixtureGen.profileWords)
+    }
+    run("docpipe", h => procPool.get().process(h).triples.length)
+    run("docpipe", h => procPool.get().process(h).triples.length)
   }
 }
