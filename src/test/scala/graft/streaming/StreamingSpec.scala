@@ -79,6 +79,35 @@ class StreamingSpec extends SparkTestBase {
     assert(closed.nonEmpty, "fixture must contain closed sessions")
   }
 
+  test("sessionizer keeps state across triggers and drops late events") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream5").toString
+    def ev(id: Long, epochSec: Long, user: Long) =
+      (id, new Timestamp(epochSec * 1000L), user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    // trigger 1: two events 100 s apart → one OPEN session, nothing emitted
+    Seq(ev(1, 10000, 1), ev(2, 10100, 1)).toDF(cols: _*)
+      .write.mode("append").parquet(s"$tmp/ev")
+    val q = EventsStream.sessionizeStream(spark, s"$tmp/ev")
+      .writeStream.format("memory").queryName("sess_multi")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("sess_multi").count() == 0,
+      "open session must not be emitted")
+    // trigger 2: an event 5000 s later closes the session; a LATE event
+    // (older than the open session's end) must be dropped, not merge
+    Seq(ev(3, 15100, 1), ev(4, 10050, 1)).toDF(cols: _*)
+      .write.mode("append").parquet(s"$tmp/ev")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_multi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 10000L, 10100L, 2L)),
+      s"exactly the closed session, late event dropped: ${out.toSeq}")
+  }
+
   test("streaming dedup within watermark emits each event once") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
