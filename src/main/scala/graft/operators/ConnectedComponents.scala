@@ -60,10 +60,33 @@ object ConnectedComponents {
     true
   }
 
+  /** Result handle: `labels` is backed by the final round's parquet files
+    * in the run's temp dir. A caller that has FULLY consumed the labels
+    * (collected them, or written them elsewhere) should call `close()` to
+    * free the temp disk immediately instead of waiting for the JVM
+    * shutdown sweep — a long-lived driver running many fixpoints would
+    * otherwise accumulate one final-round directory per run. The DataFrame
+    * must not be used after close(). Idempotent. */
+  final class CcHandle private[ConnectedComponents] (
+      val labels: DataFrame, dir: java.io.File) {
+    def close(): Unit = {
+      pendingDirs.remove(dir)
+      deleteRecursively(dir)
+    }
+  }
+
   /** @param edges DataFrame with long columns `src`, `dst`
-    * @return DataFrame (node LONG, comp LONG), comp = min id in component */
+    * @return DataFrame (node LONG, comp LONG), comp = min id in component.
+    *   Backing temp files live until JVM shutdown; use `runManaged` to
+    *   reclaim them earlier. */
   def run(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    runManaged(spark, edges, maxIter).labels
+
+  /** As `run`, returning a handle whose close() frees the run's temp dir
+    * once the caller has fully consumed the labels. */
+  def runManaged(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50): CcHandle = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val runDir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
     require(hookInstalled)
@@ -133,6 +156,6 @@ object ConnectedComponents {
       // fixpoint must not pin MEMORY_AND_DISK blocks for the session
       e.unpersist(blocking = false)
     }
-    labels
+    new CcHandle(labels, runDir)
   }
 }

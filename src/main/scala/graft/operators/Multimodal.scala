@@ -105,20 +105,27 @@ object Multimodal {
     * plumbing contract a real resizer must also satisfy. */
   def resize(media: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         val meta = FakeCodec.decode(m.payload)
         val body = m.payload.drop(8)
-        // Long arithmetic + an upper cap: a large upscale must not wrap
-        // Int-negative; a header-only payload yields an empty body
-        val outLen =
-          if (body.isEmpty) 0
-          else math.min(
-            math.max(1L, body.length.toLong * (targetW.toLong * targetH) /
-              math.max(1L, meta.width.toLong * meta.height)),
-            64L * 1024 * 1024).toInt
+        // Long arithmetic: a large upscale must not wrap Int-negative; a
+        // header-only payload yields an empty body. An output body above
+        // the 64MB cap FAILS LOUDLY — silently truncating would leave the
+        // header's targetW x targetH inconsistent with the body length,
+        // breaking the pixel-count-proportional contract decode relies on.
+        val rawLen =
+          if (body.isEmpty) 0L
+          else math.max(1L, body.length.toLong * (targetW.toLong * targetH) /
+            math.max(1L, meta.width.toLong * meta.height))
+        require(rawLen <= 64L * 1024 * 1024,
+          s"resize of media ${m.media_id} to ${targetW}x$targetH would " +
+            s"produce a $rawLen-byte body (cap 64MB)")
+        val outLen = rawLen.toInt
         val out = new Array[Byte](outLen)
         var i = 0
         while (i < outLen) {

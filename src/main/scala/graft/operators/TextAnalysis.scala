@@ -49,8 +49,12 @@ object TextAnalysis {
     val wordToLangs = map(byWord.flatMap { case (word, ls) =>
       Seq(lit(word), array(ls.map(lit): _*))
     }: _*)
+    // try_element_at: missing-key lookups return null under BOTH default
+    // and ANSI semantics (plain element_at errors on missing map keys when
+    // spark.sql.ansi.enabled is on — a portability trap, since almost every
+    // non-stopword word misses this map)
     val votes = flatten(filter(
-      transform(w, x => element_at(wordToLangs, x)), a => a.isNotNull))
+      transform(w, x => try_element_at(wordToLangs, x)), a => a.isNotNull))
     val scores = Stopwords.keys.toSeq.sorted.map { lang =>
       struct(size(filter(votes, v => v === lang)).as("score"),
         lit(lang).as("lang"))

@@ -84,17 +84,26 @@ object KgPipeline {
     * @param hugeEntities when the entity table is too big to broadcast,
     *   the representative lookup runs as a sort-merge join instead */
   def canonicalMap(spark: SparkSession, entities: DataFrame,
-      aliases: DataFrame, hugeEntities: Boolean = false): DataFrame = {
-    val comps = ConnectedComponents.run(spark, sameAsEdges(aliases))
+      aliases: DataFrame, hugeEntities: Boolean = false): DataFrame =
+    canonicalMapManaged(spark, entities, aliases, hugeEntities)._1
+
+  /** As `canonicalMap`, also returning the CC run handle so a caller that
+    * fully consumes the map (e.g. `prepare`'s collect) can free the
+    * fixpoint's temp files immediately instead of at JVM shutdown. */
+  def canonicalMapManaged(spark: SparkSession, entities: DataFrame,
+      aliases: DataFrame, hugeEntities: Boolean = false)
+      : (DataFrame, ConnectedComponents.CcHandle) = {
+    val cc = ConnectedComponents.runManaged(spark, sameAsEdges(aliases))
     val reps = entities.select(col("entity_id").as("comp"),
       col("canonical").as("comp_canonical"))
     val repsSide = if (hugeEntities) reps.hint("merge") else broadcast(reps)
-    entities.join(comps.withColumnRenamed("node", "entity_id"),
+    val out = entities.join(cc.labels.withColumnRenamed("node", "entity_id"),
         Seq("entity_id"), "left_outer")
       .withColumn("comp", coalesce(col("comp"), col("entity_id")))
       .as("e")
       .join(repsSide, Seq("comp"))
       .select(col("entity_id"), col("comp"), col("comp_canonical"))
+    (out, cc)
   }
 
   // ---------------- fused narrow stages ----------------
@@ -191,9 +200,11 @@ object KgPipeline {
   def prepare(spark: SparkSession, entities: DataFrame,
       aliases: DataFrame): Prepared = {
     val model = collectModel(entities, aliases)
-    val canon = canonicalMap(spark, entities, aliases)
-      .select("entity_id", "comp_canonical").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (cmap, cc) = canonicalMapManaged(spark, entities, aliases)
+    val canon =
+      try cmap.select("entity_id", "comp_canonical").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      finally cc.close() // collect fully consumed the fixpoint's files
     Prepared(model, canon)
   }
 

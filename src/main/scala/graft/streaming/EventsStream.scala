@@ -74,22 +74,24 @@ object EventsStream {
     * with `withWatermark` + `GroupStateTimeout.EventTimeTimeout`; the
     * NoTimeout form here matches the run-to-completion test harness. */
   def sessionizeStream(spark: SparkSession, dir: String,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Double = 1800.0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    // state = (sessStartEpoch, lastTsEpoch, nEvents), epochs in seconds
+    // state = (sessStartEpoch, lastTsEpoch, nEvents); epochs are FRACTIONAL
+    // double seconds — the gap compares sub-second precision exactly like
+    // the q33 batch idiom (epoch-double difference > gap ⇒ new session), so
+    // an 1800.8 s gap splits here too instead of truncating to 1800
     val ev = spark.readStream.schema(eventSchema).parquet(dir)
       .select(col("user_id"),
-        col("ts").cast("timestamp_ltz").cast("double").cast("long")
-          .as("epoch"))
-      .as[(Long, Long)]
+        col("ts").cast("timestamp_ltz").cast("double").as("epoch"))
+      .as[(Long, Double)]
     ev.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[(Long, Long, Long)]) =>
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Double, Double, Long)]) =>
           val ts = rows.map(_._2).toArray.sorted
-          val closed = Vector.newBuilder[(Long, Long, Long, Long)]
+          val closed = Vector.newBuilder[(Long, Double, Double, Long)]
           var cur = state.getOption
           ts.foreach { t =>
             cur match {

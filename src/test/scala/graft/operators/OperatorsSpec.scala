@@ -33,6 +33,19 @@ class OperatorsSpec extends SparkTestBase {
       (11L, 10L)))
   }
 
+  test("CC runManaged close() frees the run's backing files") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val h = ConnectedComponents.runManaged(spark, edges)
+    val labels = h.labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    h.close()
+    h.close() // idempotent
+    // the final round's parquet is gone: re-executing the labels must fail
+    intercept[Exception] { h.labels.count() }
+  }
+
   // ---------------- dedup ----------------
 
   import org.apache.spark.sql.DataFrame
@@ -217,6 +230,28 @@ class OperatorsSpec extends SparkTestBase {
     val up = Multimodal.resize(Multimodal.syntheticMedia(big), 4096, 4096)
       .collect() // must not wrap Int-negative
     assert(up.head.payload.length > 8)
+  }
+
+  test("multimodal: resize rejects bad dims and over-cap upscales loudly") {
+    import spark.implicits._
+    val docs = Seq((7L, "x" * 10)).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs)
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(media, 0, 32)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(media, 32, -1)
+    }
+    // doc 7 → 23x16 source; a 2000-byte body upscaled to 4096x4096 is
+    // ~91 MB > the 64 MB cap: must FAIL (a silent truncation would break
+    // the header-vs-body pixel-count contract)
+    val huge = Seq((7L, "x" * 2000)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Multimodal.resize(Multimodal.syntheticMedia(huge), 4096, 4096).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cap 64MB")), messages(e).toString)
   }
 
   test("multimodal: frameSample emits every k-th width-byte frame") {

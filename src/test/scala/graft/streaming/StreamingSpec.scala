@@ -51,19 +51,20 @@ class StreamingSpec extends SparkTestBase {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.sessionizeStream(spark, s"$tmp/ev"), "sessions", "append")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
       .toSet
 
-    // batch oracle: lag-gap-cumsum sessions (q33 idiom), minus each user's
-    // chronologically-last session (still open in the state store)
+    // batch oracle: lag-gap-cumsum sessions (q33 idiom — FRACTIONAL double
+    // epochs, so sub-second gaps split identically in both), minus each
+    // user's chronologically-last session (still open in the state store)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("epoch").asc, col("event_id").asc)
     val sess = spark.read.parquet(s"$tmp/ev")
       .withColumn("epoch",
-        col("ts").cast("timestamp_ltz").cast("double").cast("long"))
+        col("ts").cast("timestamp_ltz").cast("double"))
       .withColumn("prev", lag(col("epoch"), 1).over(w))
       .withColumn("new_sess", when(col("prev").isNull ||
-        col("epoch") - col("prev") > 1800L, 1).otherwise(0))
+        col("epoch") - col("prev") > 1800.0, 1).otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sess_id")
@@ -73,10 +74,33 @@ class StreamingSpec extends SparkTestBase {
       .agg(max(col("sess_id")).as("sess_id"))
     val closed = sess.join(lastSess, Seq("user_id", "sess_id"), "left_anti")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))
       .toSet
     assert(streamed == closed)
     assert(closed.nonEmpty, "fixture must contain closed sessions")
+  }
+
+  test("sessionizer splits on a sub-second gap overflow (1800.8 s)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream6").toString
+    // t1 = 10000.0, t2 = 11800.8 → real gap 1800.8 s (must SPLIT, like
+    // q33's fractional compare); the pre-round-3 whole-second truncation
+    // saw floor(11800.8) - floor(10000.0) = 1800 <= 1800 and EXTENDED
+    def ev(id: Long, epochMillis: Long, user: Long) =
+      (id, new Timestamp(epochMillis), user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    Seq(ev(1, 10_000_000L, 1), ev(2, 11_800_800L, 1), ev(3, 20_000_000L, 1))
+      .toDF(cols: _*).write.parquet(s"$tmp/ev")
+    val out = EventsStream.runToMemory(spark,
+      EventsStream.sessionizeStream(spark, s"$tmp/ev"), "sess_subsec",
+      "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sortBy(_._2)
+    assert(out == Seq((1L, 10000.0, 10000.0, 1L), (1L, 11800.8, 11800.8, 1L)),
+      s"both sub-gap singleton sessions must close: $out")
   }
 
   test("sessionizer keeps state across triggers and drops late events") {
@@ -103,8 +127,8 @@ class StreamingSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
     val out = spark.table("sess_multi").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == Seq((1L, 10000L, 10100L, 2L)),
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 10000.0, 10100.0, 2L)),
       s"exactly the closed session, late event dropped: ${out.toSeq}")
   }
 
