@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtraQueries.queries ++
       graft.queries.SourceQueries.queries ++
-      graft.queries.Round2Queries.queries
+      graft.queries.Round2Queries.queries ++
+      graft.queries.Round3Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtraQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
-      graft.queries.Round2Queries.oracles
+      graft.queries.Round2Queries.oracles ++
+      graft.queries.Round3Queries.oracles
 }

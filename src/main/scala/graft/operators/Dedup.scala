@@ -181,7 +181,15 @@ object Dedup {
 
   /** Exact word-k-gram jaccard over candidate pairs generated by a shared-
     * shingle equi-join within a blocking key — SQL-expressible, so this one
-    * carries a DuckDB oracle. */
+    * carries a DuckDB oracle.
+    *
+    * The candidate join keys on xxhash64(shingle) (8 bytes) instead of the
+    * raw k-word shingle STRING: the exploded relation is the dominant
+    * shuffle of this operator, and hashing cuts its width several-fold.
+    * Shingles are distinct within a doc (array_distinct), so counting
+    * matching hashes equals counting matching strings up to a 64-bit hash
+    * collision — vanishing at any realistic block size, and the final
+    * jaccard threshold is still computed from exact shingle-set sizes. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCol: String, k: Int, threshold: Double): DataFrame = {
     val withSh = docs.select(col(idCol), col(blockCol),
@@ -189,9 +197,9 @@ object Dedup {
     val sizes = withSh.select(col(idCol), col(blockCol),
       size(col("sh")).as("nsh"))
     val exploded = withSh.select(col(idCol), col(blockCol),
-      explode(col("sh")).as("shingle"))
+      explode(transform(col("sh"), s => xxhash64(s))).as("shingle_h"))
     val inter = exploded.as("l").join(exploded.as("r"),
-        col("l.shingle") === col("r.shingle") &&
+        col("l.shingle_h") === col("r.shingle_h") &&
         col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .groupBy(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))

@@ -41,7 +41,19 @@ object Similarity {
   }
 
   /** Brute-force top-k neighbors for each of `queries` rows (small side —
-    * broadcast) against the full vector table. */
+    * broadcast) against the full vector table.
+    *
+    * Scale shape (round-3 rewrite): the scored relation is reduced by a
+    * per-partition bounded-heap partial top-k FIRST — a narrow typed map,
+    * no shuffle — so at most partitions × |queries| × k candidate rows ever
+    * reach the final exact window. The round-2 plan put the ENTIRE scored
+    * relation through a Window.partitionBy(query_id), funneling |vectors|
+    * rows into ≤ |queries| tasks — the one plan in the repo that melted at
+    * 100×. The candidate ordering here is exactly the window's ordering
+    * (cos DESC NULLS LAST, id ASC — a total order), so any row of the true
+    * global top-k survives its partition's partial top-k and the output is
+    * bit-identical (asserted vs the naive window in Round3Spec and by the
+    * unchanged q50 DuckDB oracle). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -49,9 +61,57 @@ object Similarity {
     val scored = v.crossJoin(broadcast(q))
       .where(col("vec_id2") =!= col("query_id"))
       .withColumn("cos", cosine(col("qvec"), col("vvec")))
+      .select(col("query_id"), col("vec_id2"), col("cos"))
+    exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
+  }
+
+  /** Worse-first candidate ordering: ranks (id, cos) GREATER when it would
+    * sort LOWER under the top-k window's (cos DESC NULLS LAST, id ASC) —
+    * so a max-PriorityQueue's head is the weakest kept candidate. */
+  private val worseFirst: Ordering[(Long, Option[Double])] =
+    new Ordering[(Long, Option[Double])] {
+      def compare(a: (Long, Option[Double]),
+          b: (Long, Option[Double])): Int = (a._2, b._2) match {
+        case (None, None) => java.lang.Long.compare(a._1, b._1)
+        case (None, Some(_)) => 1
+        case (Some(_), None) => -1
+        case (Some(x), Some(y)) =>
+          val c = java.lang.Double.compare(y, x)
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+
+  /** Narrow partial top-k: per input partition, a bounded heap per query
+    * keeps its k best (query_id, vec_id2, cos) rows. Emits ≤ |queries| × k
+    * rows PER PARTITION with no shuffle; memory is O(|queries| × k). */
+  private[graft] def partialTopKPerPartition(scored: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Option[Double])].mapPartitions { it =>
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Long, Option[Double])]]
+      it.foreach { case (qid, vid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(worseFirst))
+        val cand = (vid, cos)
+        if (h.size < k) h.enqueue(cand)
+        else if (worseFirst.compare(cand, h.head) < 0) {
+          h.dequeue(); h.enqueue(cand)
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map(c => (qid, c._1, c._2))
+      }
+    }.toDF("query_id", "vec_id2", "cos")
+  }
+
+  /** Exact final top-k over the (small) candidate relation. */
+  private def exactTopKPerQuery(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id2").asc)
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    cands.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
         col("cos"))
   }

@@ -244,7 +244,15 @@ object KgPipeline {
     * only through distributed joins, so |entities| >> |aliases| never
     * lands on the driver. */
   def runWithJoinedCanon(spark: SparkSession, pages: Dataset[Page],
-      entities: DataFrame, aliases: DataFrame): Dataset[TripleRow] = {
+      entities: DataFrame, aliases: DataFrame): Dataset[TripleRow] =
+    runWithJoinedCanon(spark, pages, entities, aliases,
+      maxAliasRows = 10000000)
+
+  def runWithJoinedCanon(spark: SparkSession, pages: Dataset[Page],
+      entities: DataFrame, aliases: DataFrame,
+      maxAliasRows: Int): Dataset[TripleRow] = {
+    require(maxAliasRows > 0 && maxAliasRows < Int.MaxValue,
+      s"maxAliasRows must be in (0, Int.MaxValue), got $maxAliasRows")
     import spark.implicits._
     // (alias, entity_id, prior, cls): classes resolved by a DISTRIBUTED
     // join to the entity table, then collected at alias granularity.
@@ -253,12 +261,21 @@ object KgPipeline {
     // exactly buildModel's clsById.getOrElse(_, "") semantics, so the
     // broadcast and joined paths stay output-identical even on FK-dirty
     // alias tables.
+    // HARD CAP on the driver-side collect: the NER gazetteer/candidate
+    // model must broadcast in any design, but an alias table that outgrows
+    // the cap fails LOUDLY here instead of OOMing the driver mid-collect
+    // (limit+1 keeps even the probe bounded).
     val aliasRows = aliases.select("alias", "entity_id", "prior")
       .join(entities.select(col("entity_id"),
         col("cls").as("__cls")), Seq("entity_id"), "left_outer")
       .select(col("alias"), col("entity_id"), col("prior"),
         coalesce(col("__cls"), lit("")).as("__cls"))
+      .limit(maxAliasRows + 1)
       .collect()
+    require(aliasRows.length <= maxAliasRows,
+      s"alias table exceeds maxAliasRows=$maxAliasRows — the alias-" +
+        "granularity NER model no longer fits a driver broadcast; shrink " +
+        "or pre-aggregate the alias table (the entity table may stay huge)")
     val gaz = NerModel.Gazetteer.fromAliases(
       aliasRows.map(r => r.getString(0) -> r.getString(3)))
     val aliasMap: DocPipeline.AliasMap = aliasRows

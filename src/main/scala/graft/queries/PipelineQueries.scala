@@ -55,12 +55,18 @@ object PipelineQueries {
     }),
 
     "q63_connected_components" -> ((s, d) => {
-      val edges = FixtureSpark.ccEdges(s, nChains = 20, chainLen = 50,
-        hubDegree = 2000)
+      // edges DERIVED from the sf-dir customer table (chains of 50 within
+      // c_custkey blocks) so DuckDB's WITH RECURSIVE closure can verify the
+      // distributed fixpoint end-to-end — the full per-node labeling, not a
+      // histogram. Chain length 50 forces ~log2(50) pointer-jump rounds;
+      // the hub-degree-2000 fixture case stays covered by OperatorsSpec.
+      val c = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"))
+      val edges = c.where(col("k") % 50 =!= 49)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
       ConnectedComponents.run(s, edges)
-        .groupBy("comp").agg(count(lit(1)).as("size"))
-        .groupBy("size").agg(count(lit(1)).as("n_components"))
-        .orderBy("size")
+        .select(col("node"), col("comp"))
+        .orderBy("node")
     }),
 
     "q64_multimodal_meta" -> ((s, d) => {
@@ -101,6 +107,53 @@ object PipelineQueries {
     })
   )
 
-  /** rows-only: no SQL equivalents (generated input / fixpoint / stubs). */
-  val oracles: Map[String, String] = Map.empty
+  /** Most entries are rows-only (generated input / stubs — each with an
+    * exact ScalaTest spec); the CC fixpoint is oracled by a recursive
+    * reachability closure over the same derived edge set (SURVEY.md §2.f).
+    * The closure materializes Σ size² pairs per component — fine for the
+    * 50-node blocks here; the distributed fixpoint itself is O(E log n). */
+  val oracles: Map[String, String] = Map(
+    // syntheticMedia's header is pure doc_id arithmetic (w = 16 + id%64,
+    // h = 16 + (id/64)%64, 3 channels, fmt = id%2) and its body is the
+    // UTF-8 text bytes — so the decode/resize groupBys are mirrorable in
+    // SQL exactly, graduating q64/q80 from rows-only to hash-checked.
+    "q64_multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |    AS kind,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(8 + strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(16 + doc_id % 64) AS INTEGER) AS min_w,
+        |  CAST(MAX(16 + (doc_id // 64) % 64) AS INTEGER) AS max_h
+        |FROM documents GROUP BY 1, 2 ORDER BY kind, channels""".stripMargin,
+
+    "q80_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'img' ELSE 'aud' END
+        |      AS format,
+        |    strlen(text) AS body_len,
+        |    (16 + doc_id % 64) * (16 + (doc_id // 64) % 64) AS px
+        |  FROM documents)
+        |SELECT CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+        |  format, COUNT(*) AS n,
+        |  CAST(SUM(8 + CASE WHEN body_len = 0 THEN 0
+        |    ELSE GREATEST(1, (body_len * 1024) // px) END) AS BIGINT)
+        |    AS total_bytes
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
+
+    "q63_connected_components" ->
+      """WITH RECURSIVE
+        |edges AS (SELECT c_custkey AS src, c_custkey + 1 AS dst
+        |          FROM customer WHERE c_custkey % 50 <> 49),
+        |sym AS (SELECT src AS u, dst AS v FROM edges
+        |        UNION SELECT dst AS u, src AS v FROM edges),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.u, rr.r FROM sym s JOIN reach rr ON s.v = rr.node
+        |)
+        |SELECT node, MIN(r) AS comp FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin
+  )
 }

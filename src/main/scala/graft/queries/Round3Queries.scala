@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.sources.Tables._
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: the flatMapGroupsWithState streaming sessionizer
+  * surfaced as a driver query (it previously existed only in specs).
+  */
+object Round3Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Memory-sink query names must be unique per start within a session
+    * (Bench runs every query twice: warm-up + timed). */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q87_stream_sessionize" -> ((s, d) => {
+      // The file streaming source requires a DIRECTORY of files (probed:
+      // a bare file path fails with "basePath must be a directory"), so
+      // stage the events table into a per-run temp dir — at web scale the
+      // input already is a directory of parquet parts. All staged files
+      // are present before start ⇒ ONE trigger ⇒ the emitted rows are
+      // exactly the batch q33-idiom sessions minus each user's
+      // chronologically-last (still-open) session, which is what the
+      // DuckDB oracle computes. The memory sink materializes the rows, so
+      // the staging dir is deleted before returning.
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft-q87").toFile
+      try {
+        val staged = new java.io.File(tmpDir, "ev").getAbsolutePath
+        events(s, d).write.mode("overwrite").parquet(staged)
+        val name = s"q87_sessions_${runSeq.incrementAndGet()}"
+        val closed = EventsStream.runToMemory(s,
+          EventsStream.sessionizeStream(s, staged), name, "append")
+        closed.groupBy("user_id")
+          .agg(count(lit(1)).as("n_closed"),
+            sum(col("n_events")).as("events_in_closed"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+      } finally deleteRecursively(tmpDir)
+    })
+  )
+
+  /** Session counts per user are insensitive to equal-timestamp event
+    * order (equal ts ⇒ gap 0 ⇒ same session), so the stream's
+    * epoch-only per-trigger sort and the oracle's (ts, event_id) order
+    * agree on every aggregated column. Gaps compare FRACTIONAL epoch
+    * seconds on both sides. */
+  val oracles: Map[String, String] = Map(
+    "q87_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sess_id),
+        |closed AS (
+        |  SELECT per.* FROM per
+        |  JOIN (SELECT user_id, MAX(sess_id) AS mx FROM per
+        |        GROUP BY user_id) m
+        |    ON per.user_id = m.user_id AND per.sess_id < m.mx)
+        |SELECT user_id, COUNT(*) AS n_closed,
+        |  CAST(SUM(n_events) AS BIGINT) AS events_in_closed,
+        |  MAX(n_events) AS max_session_events
+        |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,230 @@
+package graft
+
+import graft.operators.{Dedup, DistributedRank, Similarity}
+import graft.pipeline.FixtureSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: the de-funneled brute-force top-k must be bit-equal
+  * to the naive single-window form (and its window must consume the
+  * bounded candidate set, not the raw scored relation); DistributedRank
+  * is exercised under nulls (coalesce-sentinel path) and heavy skew
+  * (approxQuantile-derived buckets); the joined-canon alias collect fails
+  * loudly past its cap; the streaming sessionizer query equals the batch
+  * idiom minus open sessions; and a CI-style plan net keeps cartesian
+  * products and single-partition exchanges out of the hot queries.
+  */
+class Round3Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------- brute-force top-k de-funnel ----------------
+
+  /** The round-2 formula: one window over the ENTIRE scored relation. */
+  private def naiveTopK(k: Int) = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val v = emb.select(col("vec_id").as("vec_id2"),
+      col("embedding").as("vvec"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id2") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qvec"), col("vvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id2").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
+        col("cos"))
+  }
+
+  test("bruteForceTopK == naive full-relation window (bit-equal)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val fast = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5)
+    val slow = naiveTopK(5)
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("bruteForceTopK window consumes the reduced candidate set") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .repartition(8, col("vec_id"))
+    val df = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // tree prints parent-above-child: the Window must sit ABOVE the typed
+    // partial-top-k map — i.e. it ranks candidates, not the raw crossJoin
+    val wIdx = plan.indexOf("Window")
+    val mIdx = plan.indexOf("MapPartitions")
+    assert(wIdx >= 0 && mIdx > wIdx,
+      s"window must consume the partial-top-k output:\n${plan.take(3000)}")
+  }
+
+  test("partial top-k emits at most partitions × queries × k candidates") {
+    import spark.implicits._
+    val nParts = 6
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.tabulate(8)(j => ((i * 31 + j) % 97).toFloat)))
+      .toDF("vec_id", "embedding").repartition(nParts)
+    val queries = vecs.where(col("vec_id") < 4)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"))
+    val v = vecs.select(col("vec_id").as("vec_id2"),
+      col("embedding").as("vvec"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id2") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qvec"), col("vvec")))
+      .select(col("query_id"), col("vec_id2"), col("cos"))
+    val cands = Similarity.partialTopKPerPartition(scored, k = 5)
+    val n = cands.count()
+    assert(n <= nParts.toLong * 4 * 5, s"candidate explosion: $n")
+    assert(n >= 4 * 5, s"too few candidates to cover top-k: $n")
+  }
+
+  // ---------------- n-gram jaccard hash-keyed candidates ----------------
+
+  test("hash-keyed jaccard candidates equal exact string-keyed jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (1L, "the quick brown fox jumps over the lazy cat", "s0"),
+      (2L, "completely different text about spark engines here", "s0"),
+      (3L, "the quick brown fox jumps over the lazy dog", "s1"))
+      .toDF("doc_id", "text", "src")
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "src",
+        k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    // exact values computed from the shingle SETS by hand: docs 0/1 share
+    // 6 of their 7+7 distinct 3-shingles → 6/8; doc 3 is in another block
+    assert(got.length == 1)
+    assert(got.head._1 == 0L && got.head._2 == 1L)
+    assert(math.abs(got.head._3 - 6.0 / 8.0) < 1e-12)
+  }
+
+  // ---------------- DistributedRank under nulls and skew ----------------
+
+  test("DistributedRank handles nulls via the coalesce-sentinel path") {
+    import spark.implicits._
+    // nulls sort FIRST under ASC in both Spark windows and DistributedRank
+    // when coalesced to a sentinel below every real value (the documented
+    // precondition: order/bucket must be made non-null by the caller)
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, if (rng.nextInt(5) == 0) None else Some(rng.nextInt(50)))
+    }
+    val df = rows.toDF("id", "v")
+    val sentinel = lit(Int.MinValue)
+    val vOrNull = coalesce(col("v"), sentinel)
+    for (k <- Seq(4, 7)) {
+      val dist = DistributedRank.ntileBuckets(df,
+          floor(vOrNull / 10), Seq(vOrNull.asc, col("id").asc), k, "nt")
+        .select("id", "nt")
+      val plain = df.withColumn("nt", ntile(k).over(
+          Window.orderBy(col("v").asc_nulls_first, col("id").asc)))
+        .select("id", "nt")
+      assert(dist.except(plain).isEmpty && plain.except(dist).isEmpty,
+        s"k=$k")
+    }
+  }
+
+  test("DistributedRank with approxQuantile buckets on heavily skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one value — a fixed-width bucket would put
+    // them all in one bucket; quantile-derived bounds keep the buckets
+    // usable and the contract only needs monotonicity, not balance
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 1000).map { i =>
+      (i.toLong, if (rng.nextInt(10) == 0) rng.nextDouble() * 1000 else 42.0)
+    }
+    val df = rows.toDF("id", "v")
+    val qs = df.stat.approxQuantile("v", Array(0.25, 0.5, 0.75), 0.0)
+    val bucket = when(col("v") <= qs(0), 0)
+      .when(col("v") <= qs(1), 1)
+      .when(col("v") <= qs(2), 2)
+      .otherwise(3)
+    val dist = DistributedRank.percentRank(df, bucket,
+        Seq(col("v").asc, col("id").asc), "pr")
+      .select("id", "pr")
+    val plain = df.withColumn("pr", percent_rank().over(
+        Window.orderBy(col("v").asc, col("id").asc)))
+      .select("id", "pr")
+    assert(dist.except(plain).isEmpty && plain.except(dist).isEmpty)
+  }
+
+  // ---------------- joined-canon alias cap ----------------
+
+  test("runWithJoinedCanon fails loudly when the alias table exceeds cap") {
+    val pages = FixtureSpark.pages(spark, 5L, 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.KgPipeline.runWithJoinedCanon(spark, pages,
+        FixtureSpark.entities(spark), FixtureSpark.aliases(spark),
+        maxAliasRows = 2)
+    }
+    assert(e.getMessage.contains("maxAliasRows"), e.getMessage)
+  }
+
+  // ---------------- q87 streaming sessionizer query ----------------
+
+  test("q87 equals batch sessions minus each user's open session") {
+    val got = graft.queries.Round3Queries
+      .queries("q87_stream_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch").asc, col("event_id").asc)
+    val sess = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("epoch", col("ts").cast("timestamp_ltz").cast("double"))
+      .withColumn("prev", lag(col("epoch"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("epoch") - col("prev") > 1800.0, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"))
+    val last = sess.groupBy("user_id").agg(max("sess_id").as("sess_id"))
+    val want = sess.join(last, Seq("user_id", "sess_id"), "left_anti")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed"),
+        sum(col("n_events")).as("events_in_closed"),
+        max(col("n_events")).as("max_session_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------- CI-style plan regression net ----------------
+
+  test("hot queries plan no cartesian product / single-partition exchange") {
+    // the hottest queries by BENCH_r02 plus every candidate-generation
+    // join; excluded by design: q35/q37 (their only single-partition
+    // window runs over the tiny bucket-count table — asserted in
+    // Round2Spec), q36/q51 (single-row global aggregates), q87 (streaming)
+    val hot = Seq("q02_agg_pricing_summary", "q05_join_sortmerge",
+      "q22_math", "q25_range_join", "q43_exact_dedup",
+      "q44_ngram_jaccard", "q45_minhash_neardup", "q46_simhash",
+      "q48_langid", "q50_cosine_topk", "q52_embedding_neardup",
+      "q86_tpch_q5_shape")
+    // q43/q44 END in a global scalar aggregate: their SinglePartition
+    // exchange carries one partial-agg row per task — legitimate at any
+    // scale, unlike a funnel of the data itself
+    val scalarAgg = Set("q43_exact_dedup", "q44_ngram_jaccard")
+    // q50's brute-force scorer IS a broadcast cross join by design (the
+    // broadcast side is the small query set); BNLJ is banned only where
+    // an equi-join was intended (candidate generation)
+    val broadcastCross = Set("q50_cosine_topk")
+    for (name <- hot) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian")
+      if (!broadcastCross.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name bnlj")
+      if (!scalarAgg.contains(name))
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name funnels into one partition:\n${plan.take(2000)}")
+    }
+  }
+}
