@@ -113,6 +113,19 @@ object PipelineQueries {
     * The closure materializes Σ size² pairs per component — fine for the
     * 50-node blocks here; the distributed fixpoint itself is O(E log n). */
   val oracles: Map[String, String] = Map(
+    // frameSample over syntheticMedia is arithmetic on strlen(text) and
+    // the doc_id-derived width: every emitted frame is exactly `width`
+    // bytes and frames at indices 0, k, 2k, ... below body_len // width
+    "q81_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    strlen(text) // (16 + doc_id % 64) AS nf,
+        |    16 + doc_id % 64 AS w
+        |  FROM documents)
+        |SELECT media_id, (nf - 1) // 4 + 1 AS n_frames,
+        |  CAST(((nf - 1) // 4 + 1) * w AS BIGINT) AS frame_bytes
+        |FROM f WHERE nf > 0 ORDER BY media_id""".stripMargin,
+
     // syntheticMedia's header is pure doc_id arithmetic (w = 16 + id%64,
     // h = 16 + (id/64)%64, 3 channels, fmt = id%2) and its body is the
     // UTF-8 text bytes — so the decode/resize groupBys are mirrorable in

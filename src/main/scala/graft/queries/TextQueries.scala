@@ -62,7 +62,8 @@ object TextQueries {
 
     "q48_langid" -> ((s, d) =>
       // heuristic language id over synthetic-keyword text: not meaningful
-      // linguistically, but exercises the operator end to end; rows-only
+      // linguistically, but exercises the operator end to end; oracled
+      // since round 3 by mirroring the vote/argmax semantics in SQL
       documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -143,6 +144,41 @@ object TextQueries {
          |MAX(n_chars) AS max_chars,
          |${Q.dsumSql("CAST(n_chars AS DOUBLE)")} AS sum_chars
          |FROM documents GROUP BY lang, source
-         |ORDER BY lang, source""".stripMargin
+         |ORDER BY lang, source""".stripMargin,
+
+    // langId's exact semantics in SQL: each DISTINCT lowered word votes
+    // for every language whose stopword list contains it; winner = max
+    // (score, lang) lexicographically (Spark's greatest over structs ==
+    // ORDER BY score DESC, lang DESC LIMIT 1); CJK presence short-circuits
+    // to zh, no votes → und. The (word, lang) VALUES list is generated
+    // from the SAME TextAnalysis.Stopwords the operator folds into its
+    // literal map, so the two can never drift.
+    "q48_langid" -> {
+      val vals = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (lang, ws) => ws.sorted.map(w => s"('$w','$lang')") }
+        .mkString(", ")
+      s"""WITH sw(w, lang) AS (VALUES $vals),
+         |words AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    string_split_regex(lower(text), '\\s+'))) AS w
+         |  FROM documents),
+         |votes AS (
+         |  SELECT wo.doc_id, sw.lang, COUNT(*) AS score
+         |  FROM words wo JOIN sw ON wo.w = sw.w GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang DESC) AS rn FROM votes)
+         |  WHERE rn = 1),
+         |pred AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]')
+         |           THEN 'zh'
+         |         WHEN b.lang IS NOT NULL THEN b.lang
+         |         ELSE 'und' END AS lang_pred
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)
+         |SELECT lang_pred, COUNT(*) AS n FROM pred
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+    }
   )
 }
