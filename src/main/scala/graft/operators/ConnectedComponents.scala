@@ -40,14 +40,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) {
-      val children = f.listFiles()
-      if (children != null) children.foreach(deleteRecursively)
-    }
-    f.delete()
-    ()
-  }
+  import graft.core.Fs.deleteRecursively
 
   /** ONE JVM shutdown hook for all runs (repeated run() calls in a
     * long-lived driver must not accumulate hook threads); each run

@@ -15,15 +15,6 @@ object Round3Queries {
     * (Bench runs every query twice: warm-up + timed). */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) {
-      val children = f.listFiles()
-      if (children != null) children.foreach(deleteRecursively)
-    }
-    f.delete()
-    ()
-  }
-
   val queries: Map[String, QFn] = Map(
     "q87_stream_sessionize" -> ((s, d) => {
       // The file streaming source requires a DIRECTORY of files (probed:
@@ -42,12 +33,18 @@ object Round3Queries {
         val name = s"q87_sessions_${runSeq.incrementAndGet()}"
         val closed = EventsStream.runToMemory(s,
           EventsStream.sessionizeStream(s, staged), name, "append")
-        closed.groupBy("user_id")
+        val agg = closed.groupBy("user_id")
           .agg(count(lit(1)).as("n_closed"),
             sum(col("n_events")).as("events_in_closed"),
             max(col("n_events")).as("max_session_events"))
           .orderBy("user_id")
-      } finally deleteRecursively(tmpDir)
+        // materialize the (one-row-per-user) aggregate so the memory-sink
+        // table can be dropped — otherwise every invocation would leak a
+        // sink table into the catalog for the life of the session
+        val rows = agg.collect()
+        s.catalog.dropTempView(name)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally graft.core.Fs.deleteRecursively(tmpDir)
     })
   )
 
