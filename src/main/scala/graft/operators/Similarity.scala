@@ -56,13 +56,29 @@ object Similarity {
     * unchanged q50 DuckDB oracle). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val v = vectors.select(col(idCol).as("vec_id2"), col(vecCol).as("vvec"))
+    // the typed partial top-k carries ids as LONG; fail fast on
+    // non-integral id columns (hash or zip such ids to longs first) and
+    // cast the output back so the caller's id type survives round-trip
+    val idType = vectors.schema(idCol).dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"bruteForceTopK needs an integral id column, got $idCol: $idType " +
+        "— derive one first (xxhash64 / monotonically_increasing_id)")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    val v = vectors.select(col(idCol).cast("long").as("vec_id2"),
+      col(vecCol).as("vvec"))
     val scored = v.crossJoin(broadcast(q))
       .where(col("vec_id2") =!= col("query_id"))
       .withColumn("cos", cosine(col("qvec"), col("vvec")))
       .select(col("query_id"), col("vec_id2"), col("cos"))
     exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
+      .select(col("query_id").cast(idType).as("query_id"), col("rk"),
+        col("neighbor_id").cast(idType).as("neighbor_id"), col("cos"))
   }
 
   /** Worse-first candidate ordering: ranks (id, cos) GREATER when it would

@@ -221,14 +221,15 @@ object KgPipeline {
     run(spark, pages, entities, aliases, broadcastCanonLimit = 10000000L)
 
   def run(spark: SparkSession, pages: Dataset[Page], entities: DataFrame,
-      aliases: DataFrame, broadcastCanonLimit: Long): Dataset[TripleRow] = {
+      aliases: DataFrame, broadcastCanonLimit: Long,
+      maxAliasRows: Int = 10000000): Dataset[TripleRow] = {
     // size probe capped at limit+1 rows — never a full count of a huge table
     val probe = entities.select("entity_id")
       .limit(math.min(broadcastCanonLimit + 1, Int.MaxValue.toLong).toInt)
       .count()
     if (probe <= broadcastCanonLimit)
       run(spark, pages, prepare(spark, entities, aliases))
-    else runWithJoinedCanon(spark, pages, entities, aliases)
+    else runWithJoinedCanon(spark, pages, entities, aliases, maxAliasRows)
   }
 
   /** The no-driver-side-canonical-map path (README's promised fallback):
@@ -263,19 +264,22 @@ object KgPipeline {
     // alias tables.
     // HARD CAP on the driver-side collect: the NER gazetteer/candidate
     // model must broadcast in any design, but an alias table that outgrows
-    // the cap fails LOUDLY here instead of OOMing the driver mid-collect
-    // (limit+1 keeps even the probe bounded).
-    val aliasRows = aliases.select("alias", "entity_id", "prior")
+    // the cap fails LOUDLY here instead of OOMing the driver mid-collect.
+    // The cap check is a fully-parallel count (a limit(n+1).collect probe
+    // would plan CollectLimitExec's sequential take waves); the second
+    // scan of this cheap alias-granularity join is noise in prepare.
+    val joined = aliases.select("alias", "entity_id", "prior")
       .join(entities.select(col("entity_id"),
         col("cls").as("__cls")), Seq("entity_id"), "left_outer")
       .select(col("alias"), col("entity_id"), col("prior"),
         coalesce(col("__cls"), lit("")).as("__cls"))
-      .limit(maxAliasRows + 1)
-      .collect()
-    require(aliasRows.length <= maxAliasRows,
-      s"alias table exceeds maxAliasRows=$maxAliasRows — the alias-" +
-        "granularity NER model no longer fits a driver broadcast; shrink " +
-        "or pre-aggregate the alias table (the entity table may stay huge)")
+    val nAlias = joined.count()
+    require(nAlias <= maxAliasRows,
+      s"alias table has $nAlias rows, exceeding maxAliasRows=" +
+        s"$maxAliasRows — the alias-granularity NER model no longer fits " +
+        "a driver broadcast; shrink or pre-aggregate the alias table, or " +
+        "raise maxAliasRows (the entity table may stay huge either way)")
+    val aliasRows = joined.collect()
     val gaz = NerModel.Gazetteer.fromAliases(
       aliasRows.map(r => r.getString(0) -> r.getString(3)))
     val aliasMap: DocPipeline.AliasMap = aliasRows

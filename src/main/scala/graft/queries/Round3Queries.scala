@@ -33,17 +33,22 @@ object Round3Queries {
         val name = s"q87_sessions_${runSeq.incrementAndGet()}"
         val closed = EventsStream.runToMemory(s,
           EventsStream.sessionizeStream(s, staged), name, "append")
-        val agg = closed.groupBy("user_id")
-          .agg(count(lit(1)).as("n_closed"),
-            sum(col("n_events")).as("events_in_closed"),
-            max(col("n_events")).as("max_session_events"))
-          .orderBy("user_id")
-        // materialize the (one-row-per-user) aggregate so the memory-sink
-        // table can be dropped — otherwise every invocation would leak a
-        // sink table into the catalog for the life of the session
-        val rows = agg.collect()
-        s.catalog.dropTempView(name)
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        try {
+          val agg = closed.groupBy("user_id")
+            .agg(count(lit(1)).as("n_closed"),
+              sum(col("n_events")).as("events_in_closed"),
+              max(col("n_events")).as("max_session_events"))
+            .orderBy("user_id")
+          // materialize the (one-row-per-user) aggregate so the memory-
+          // sink table can be dropped — otherwise every invocation would
+          // leak a sink table into the catalog for the life of the session
+          val rows = agg.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        } finally {
+          // drop on the failure path too, not just on success
+          s.catalog.dropTempView(name)
+          ()
+        }
       } finally graft.core.Fs.deleteRecursively(tmpDir)
     })
   )

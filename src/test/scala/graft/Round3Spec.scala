@@ -81,6 +81,43 @@ class Round3Spec extends SparkTestBase {
     assert(n >= 4 * 5, s"too few candidates to cover top-k: $n")
   }
 
+  test("bruteForceTopK property: random vectors/ties/zero-norms/partitions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xc0ffee)
+    for (trial <- 1 to 5) {
+      val n = 40 + rng.nextInt(120)
+      val dim = 1 + rng.nextInt(6)
+      val k = 1 + rng.nextInt(8)
+      val nParts = 1 + rng.nextInt(9)
+      val nQueries = 1 + rng.nextInt(6)
+      val vecs = (0L until n.toLong).map { i =>
+        val v =
+          if (rng.nextInt(10) == 0) Seq.fill(dim)(0f) // zero-norm → null cos
+          else if (rng.nextInt(4) == 0)
+            Seq.tabulate(dim)(j => (j + 1).toFloat)   // planted exact ties
+          else Seq.fill(dim)(rng.nextInt(5).toFloat - 2f)
+        (i, v)
+      }.toDF("vec_id", "embedding").repartition(nParts)
+      val queries = vecs.where(col("vec_id") < nQueries)
+      val fast = Similarity.bruteForceTopK(vecs, queries, "vec_id",
+        "embedding", k)
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))
+      val v = vecs.select(col("vec_id").as("vec_id2"),
+        col("embedding").as("vvec"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id2").asc)
+      val slow = v.crossJoin(broadcast(q))
+        .where(col("vec_id2") =!= col("query_id"))
+        .withColumn("cos", Similarity.cosine(col("qvec"), col("vvec")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
+          col("cos"))
+      assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty,
+        s"trial=$trial n=$n dim=$dim k=$k parts=$nParts queries=$nQueries")
+    }
+  }
+
   // ---------------- n-gram jaccard hash-keyed candidates ----------------
 
   test("hash-keyed jaccard candidates equal exact string-keyed jaccard") {

@@ -10,8 +10,10 @@ class OperatorsSpec extends SparkTestBase {
   // ---------------- connected components ----------------
 
   test("CC fixpoint equals union-find oracle on chains + hub") {
+    // hubDegree 2000 keeps the high-degree skew path exercised now that
+    // q63 runs on the (max-degree-2) customer-derived oracled edges
     val edges = FixtureSpark.ccEdges(spark, nChains = 10, chainLen = 40,
-      hubDegree = 500)
+      hubDegree = 2000)
     val got = ConnectedComponents.run(spark, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
