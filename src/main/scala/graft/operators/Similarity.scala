@@ -180,21 +180,50 @@ object Similarity {
 
   /** IVF-style ANN top-k: coarse-quantize to `nCells` deterministic
     * centroids (the lowest-id vectors — deterministic and data-dependent),
-    * then search only the query's `nProbe` nearest cells. */
+    * then search only the query's `nProbe` nearest cells.
+    *
+    * Scale shape (round-3 rewrite — three shuffles removed):
+    *   1. cell ASSIGNMENT is a narrow fold-argmax over a broadcast
+    *      centroid array — the round-2 plan exploded |V| × nCells rows
+    *      through a per-vector window (an nCells× data shuffle);
+    *   2. the candidate join BROADCASTS the (queries × nProbe) probe side
+    *      — an nCells-distinct-value join key would otherwise land all
+    *      data on ≤ nCells reducers;
+    *   3. the final top-k reuses the bounded-heap partial top-k, so the
+    *      per-query window never sees more than partitions × |Q| × k rows.
+    * Tie-breaks (lowest cell_id / lowest neighbor id on equal cosine,
+    * nulls last) are identical to the window formulation — cells are
+    * folded in cell_id order with a strict > test. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val idType = vectors.schema(idCol).dataType
     val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
-    // assign every vector to its nearest centroid (broadcast centroids)
-    val assigned = vectors.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col(vecCol), col("cvec")))
-      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("cell_id").asc)))
-      .where(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
-    // probe cells per query
-    val probes = queries.select(col(idCol).as("query_id"),
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"))
+    // ONE broadcast row holding all centroids, sorted by cell_id so the
+    // fold's first-wins tie-break equals the window's cell_id ASC
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("cvec"))))
+        .as("cells"))
+    val negInf = lit(Double.NegativeInfinity)
+    def nearestCell(vec: Column): Column =
+      aggregate(col("cells"),
+        struct(lit(-1L).as("cell_id"), negInf.as("sim")),
+        (acc, c) => {
+          // zero-norm cosine is null → -inf, ranking below any real sim
+          // (the window form's DESC NULLS LAST)
+          val sim = coalesce(cosine(vec, c.getField("cvec")), negInf)
+          when(sim > acc.getField("sim"),
+            struct(c.getField("cell_id").as("cell_id"), sim.as("sim")))
+            .otherwise(acc)
+        }).getField("cell_id")
+    val assigned = vectors
+      .select(col(idCol).cast("long").as("vec_id2"), col(vecCol).as("vvec"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("cell_id", nearestCell(col("vvec")))
+      .drop("cells")
+    // probe cells per query: the window is fine here — it runs over the
+    // small (|Q| × nCells) probe relation, never over the data
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
@@ -202,14 +231,12 @@ object Similarity {
         .orderBy(col("sim").desc, col("cell_id").asc)))
       .where(col("rk") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
-    val scored = probes.join(assigned, Seq("cell_id"))
-      .where(col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosine(col("qvec"), col(vecCol)))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col(idCol).asc)))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
-        col("cos"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .where(col("vec_id2") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("vvec")))
+      .select(col("query_id"), col("vec_id2"), col("cos"))
+    exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
+      .select(col("query_id").cast(idType).as("query_id"), col("rk"),
+        col("neighbor_id").cast(idType).as("neighbor_id"), col("cos"))
   }
 }

@@ -118,6 +118,52 @@ class Round3Spec extends SparkTestBase {
     }
   }
 
+  // ---------------- ivf top-k de-shuffled rewrite ----------------
+
+  test("ivfTopK == round-2 window/join formulation; no cell_id shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val (nCells, nProbe, k) = (16, 4, 5)
+    val fast = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      nCells, nProbe, k)
+
+    // the round-2 formulation, inlined: explode-assign via window,
+    // shuffle join on cell_id, full-relation final window
+    val cents = emb.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cvec")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell_id").asc)))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+    val slow = probes.join(assigned, Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qvec"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+    fast.collect()
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cell_id"),
+      s"candidate join must broadcast probes, not shuffle on cell_id:\n" +
+        plan.take(2000))
+  }
+
   // ---------------- n-gram jaccard hash-keyed candidates ----------------
 
   test("hash-keyed jaccard candidates equal exact string-keyed jaccard") {
