@@ -138,9 +138,11 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rng.nextDouble() * 2.0 - 1.0))
   }
 
-  /** Sign-LSH bucket key per vector: nBits-bit signature of hyperplane
-    * side tests. Vectors in the same bucket are near-duplicate candidates. */
-  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+  /** (id, vec, bucket) in ONE narrow typed map. Callers that need the
+    * vector next to its bucket (the near-dup verify) must use this — a
+    * separate bucket table re-joined by id would shuffle the whole vector
+    * relation just to reattach a column the map already had in hand. */
+  def lshBucketsWithVec(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -160,22 +162,30 @@ object Similarity {
             if (dot >= 0) key |= (1L << b)
             b += 1
           }
-          (id, key)
+          (id, vec, key)
         }
-      }.toDF(idCol, "bucket")
+      }.toDF(idCol, vecCol, "bucket")
   }
+
+  /** Sign-LSH bucket key per vector: nBits-bit signature of hyperplane
+    * side tests. Vectors in the same bucket are near-duplicate candidates. */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dim: Int): DataFrame =
+    lshBucketsWithVec(vectors, idCol, vecCol, nBits, dim)
+      .select(col(idCol), col("bucket"))
 
   /** ANN near-duplicate pairs: same LSH bucket → verify exact cosine. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int, threshold: Double): DataFrame = {
-    val b = lshBuckets(vectors, idCol, vecCol, nBits, dim)
-    val withB = vectors.select(col(idCol), col(vecCol)).join(b, idCol)
+    val idType = vectors.schema(idCol).dataType
+    val withB = lshBucketsWithVec(vectors, idCol, vecCol, nBits, dim)
     withB.as("l").join(withB.as("r"),
         col("l.bucket") === col("r.bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .withColumn("cos", cosine(col(s"l.$vecCol"), col(s"r.$vecCol")))
       .where(col("cos") >= threshold)
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"), col("cos"))
+      .select(col(s"l.$idCol").cast(idType).as("a"),
+        col(s"r.$idCol").cast(idType).as("b"), col("cos"))
   }
 
   /** IVF-style ANN top-k: coarse-quantize to `nCells` deterministic
