@@ -146,6 +146,26 @@ object TextQueries {
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
 
+    // the 64-bit rolling hash (h = 31*h + char, wrapping) replayed in
+    // HUGEINT modular arithmetic, then wrapped back to signed BIGINT.
+    // Exact for the driver corpus because its text is pure ASCII, where
+    // Spark's UTF-16 charAt equals DuckDB's ascii(); h*31+c stays far
+    // below the HUGEINT range before each mod.
+    "q47_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(1, strlen(text) + 1),
+        |          i -> ascii(text[i])::HUGEINT)),
+        |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // langId's exact semantics in SQL: each DISTINCT lowered word votes
     // for every language whose stopword list contains it; winner = max
     // (score, lang) lexicographically (Spark's greatest over structs ==
