@@ -146,6 +146,59 @@ object TextQueries {
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
 
+    // simhash replayed exactly: FNV-1a per word (xor in signed BIGINT is
+    // bit-equal to unsigned xor; the wrapping multiply runs in HUGEINT
+    // mod 2^64 and wraps back to signed), then ±1 votes per bit over all
+    // word occurrences, then the 64-bit fingerprint reassembled with the
+    // sign bit handled explicitly. ASCII-only corpus (charAt == ascii).
+    "q46_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(-3750763034362895579,
+        |        list_transform(range(1, strlen(w) + 1), i -> ascii(w[i]))),
+        |      (h, c) -> CAST(
+        |        CASE WHEN ((CASE WHEN xor(h, c) < 0
+        |                    THEN xor(h, c)::HUGEINT
+        |                         + 18446744073709551616::HUGEINT
+        |                    ELSE xor(h, c)::HUGEINT END)
+        |                   * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT
+        |                  >= 9223372036854775808::HUGEINT
+        |          THEN ((CASE WHEN xor(h, c) < 0
+        |                 THEN xor(h, c)::HUGEINT
+        |                      + 18446744073709551616::HUGEINT
+        |                 ELSE xor(h, c)::HUGEINT END)
+        |                * 1099511628211::HUGEINT)
+        |               % 18446744073709551616::HUGEINT
+        |               - 18446744073709551616::HUGEINT
+        |          ELSE ((CASE WHEN xor(h, c) < 0
+        |                 THEN xor(h, c)::HUGEINT
+        |                      + 18446744073709551616::HUGEINT
+        |                 ELSE xor(h, c)::HUGEINT END)
+        |                * 1099511628211::HUGEINT)
+        |               % 18446744073709551616::HUGEINT
+        |          END AS BIGINT)) AS h
+        |  FROM words),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, range(0, 64) r(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 AND b < 63
+        |        THEN (1::HUGEINT << b) ELSE 0 END)
+        |      - CASE WHEN MAX(CASE WHEN b = 63 AND v > 0
+        |            THEN 1 ELSE 0 END) = 1
+        |        THEN 9223372036854775808::HUGEINT ELSE 0 END AS BIGINT)
+        |      AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
     // the 64-bit rolling hash (h = 31*h + char, wrapping) replayed in
     // HUGEINT modular arithmetic, then wrapped back to signed BIGINT.
     // Exact for the driver corpus because its text is pure ASCII, where
