@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over `embeddings` (vec_id, embedding
-  * ARRAY<FLOAT>, label). Brute-force cosine carries a DuckDB oracle (same
-  * explicit dot/sqrt association + rounding); the ANN paths are checked
-  * against brute force in SimilaritySpec (recall), rows-only for the
-  * driver. */
+  * ARRAY<FLOAT>, label). Every entry carries a DuckDB oracle since
+  * round 3: brute-force and IVF replay the same cosine/argmax/top-k
+  * semantics in SQL, and the sign-LSH near-dup embeds its deterministic
+  * hyperplanes as DOUBLE[] literals; the ANN paths are additionally
+  * recall-checked against brute force in the specs. */
 object EmbeddingQueries {
   type QFn = (SparkSession, String) => DataFrame
 
@@ -49,7 +50,89 @@ object EmbeddingQueries {
         .orderBy("query_id", "rk"))
   )
 
+  /** The DuckDB mirror of Similarity.cosine / the native expression: same
+    * dot/sqrt association, same zero-norm→NULL guard — proven bit-exact by
+    * q50 since round 1. */
+  private def cosSql(a: String, b: String): String = {
+    def sq(v: String) =
+      s"list_aggregate(list_transform($v, x -> CAST(x AS DOUBLE) * " +
+        "CAST(x AS DOUBLE)), 'sum')"
+    val dot = s"list_aggregate(list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    s"CASE WHEN ${sq(a)} * ${sq(b)} = 0 THEN NULL " +
+      s"ELSE $dot / (sqrt(${sq(a)}) * sqrt(${sq(b)})) END"
+  }
+
+  /** q52's hyperplanes, regenerated from the SAME seeded Rng stream as
+    * Similarity.planes (SplitMix64, seed 0x91239876, nBits=12 × dim=64)
+    * and embedded as DOUBLE[] literals — Double.toString round-trips, so
+    * DuckDB parses bit-identical planes and the sign tests agree. */
+  private def q52Planes: Seq[Seq[Double]] = {
+    val rng = new graft.core.Rng(0x91239876L)
+    Seq.fill(12)(Seq.fill(64)(rng.nextDouble() * 2.0 - 1.0))
+  }
+
   val oracles: Map[String, String] = Map(
+    // sign-LSH near-dup in SQL: bucket = 12 hyperplane sign bits (dot
+    // products in the same double-summation order as the typed map),
+    // bucket equi-join, exact-cosine verify — the full operator replayed
+    "q52_embedding_neardup" -> {
+      val planes = q52Planes
+      def planeDot(b: Int): String = {
+        val lit = planes(b).mkString("[", ",", "]::DOUBLE[]")
+        s"list_aggregate(list_transform(list_zip($lit, embedding), " +
+          "p -> p[1] * CAST(p[2] AS DOUBLE)), 'sum')"
+      }
+      val bucket = (0 until 12).map(b =>
+        s"(CASE WHEN ${planeDot(b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH buckets AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT a, b, round(cos, 6) AS cos_r FROM (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    ${cosSql("l.embedding", "r.embedding")} AS cos
+         |  FROM buckets l JOIN buckets r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE cos >= 0.2 ORDER BY a, b""".stripMargin
+    },
+
+    // the full IVF path in SQL: same deterministic centroids (lowest-id
+    // vectors), same assignment argmax (sim DESC NULLS LAST, cell_id ASC
+    // == the fold's first-wins tie-break), same probe/top-k semantics
+    "q53_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  ORDER BY vec_id ASC LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.cvec")}
+         |          DESC NULLS LAST, c.cell_id ASC) AS rk
+         |    FROM embeddings v, cents c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT query_id, qvec, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cvec")}
+         |          DESC NULLS LAST, c.cell_id ASC) AS rk
+         |    FROM embeddings q, cents c WHERE q.vec_id < 8)
+         |  WHERE rk <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("p.qvec", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a USING (cell_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+         |  round(cos, 6) AS cos_r
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     "q50_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
         |  FROM embeddings WHERE vec_id < 8),
