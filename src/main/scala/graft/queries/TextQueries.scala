@@ -146,6 +146,95 @@ object TextQueries {
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
 
+    // minhash-LSH replayed exactly. The banded candidate join keys on the
+    // signature SLICES themselves (Spark's hash(slice) is only an
+    // equality proxy for slice equality, so no Murmur3 is needed in SQL);
+    // FNV-1a shingle bases reuse q46's HUGEINT lambda; the 64 affine
+    // (a, b) params are regenerated from the SAME seeded Rng stream as
+    // Dedup.hashParams and embedded with a split into 32-bit halves so
+    // the wrapping 64×64-bit multiply fits INT128:
+    //   (a·x) mod 2^64 = (a_lo·x + ((a_hi·x) mod 2^32)·2^32) mod 2^64.
+    // Mins compare SIGNED longs, exactly like the Scala loop.
+    "q45_minhash_neardup" -> {
+      val rng = new graft.core.Rng(0x5eed5eedL)
+      val hp = (0 until 64).map { h =>
+        val a = rng.nextLong() | 1L
+        val b = rng.nextLong()
+        s"($h, ${a >>> 32}::HUGEINT, ${a & 0xffffffffL}::HUGEINT, " +
+          s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
+      }.mkString(", ")
+      val fnv =
+        """list_reduce(
+          |      list_prepend(-3750763034362895579,
+          |        list_transform(range(1, strlen(sh) + 1), i -> ascii(sh[i]))),
+          |      (h, c) -> CAST(
+          |        CASE WHEN ((CASE WHEN xor(h, c) < 0
+          |                    THEN xor(h, c)::HUGEINT
+          |                         + 18446744073709551616::HUGEINT
+          |                    ELSE xor(h, c)::HUGEINT END)
+          |                   * 1099511628211::HUGEINT)
+          |                  % 18446744073709551616::HUGEINT
+          |                  >= 9223372036854775808::HUGEINT
+          |          THEN ((CASE WHEN xor(h, c) < 0
+          |                 THEN xor(h, c)::HUGEINT
+          |                      + 18446744073709551616::HUGEINT
+          |                 ELSE xor(h, c)::HUGEINT END)
+          |                * 1099511628211::HUGEINT)
+          |               % 18446744073709551616::HUGEINT
+          |               - 18446744073709551616::HUGEINT
+          |          ELSE ((CASE WHEN xor(h, c) < 0
+          |                 THEN xor(h, c)::HUGEINT
+          |                      + 18446744073709551616::HUGEINT
+          |                 ELSE xor(h, c)::HUGEINT END)
+          |                * 1099511628211::HUGEINT)
+          |               % 18446744073709551616::HUGEINT
+          |          END AS BIGINT))""".stripMargin
+      val mulmod =
+        """((hp.al * bu + ((hp.ah * bu) % 4294967296::HUGEINT)
+          |               * 4294967296::HUGEINT + hp.b)
+          |              % 18446744073709551616::HUGEINT)""".stripMargin
+      s"""WITH hp(h, ah, al, b) AS (VALUES $hp),
+         |docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words,
+         |    len(string_split(text, ' ')) AS nw
+         |  FROM documents),
+         |shingles AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(nw - 1, 1) + 1),
+         |      i -> array_to_string(words[i:least(i + 1, nw)], ' '))) AS sh
+         |  FROM docs),
+         |bases AS (
+         |  SELECT doc_id,
+         |    CASE WHEN base < 0
+         |      THEN base::HUGEINT + 18446744073709551616::HUGEINT
+         |      ELSE base::HUGEINT END AS bu
+         |  FROM (SELECT doc_id, $fnv AS base FROM shingles)),
+         |minh AS (
+         |  SELECT doc_id, hp.h,
+         |    MIN(CAST(CASE WHEN $mulmod >= 9223372036854775808::HUGEINT
+         |      THEN $mulmod - 18446744073709551616::HUGEINT
+         |      ELSE $mulmod END AS BIGINT)) AS mh
+         |  FROM bases, hp GROUP BY doc_id, hp.h),
+         |sigs AS (
+         |  SELECT doc_id, list(mh ORDER BY h) AS sig FROM minh
+         |  GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, sig[2*b + 1 : 2*b + 2] AS band
+         |  FROM sigs, range(0, 32) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.band = r.band
+         |    AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT a, b,
+         |    CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+         |      p -> p[1] = p[2])) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cands JOIN sigs sa ON cands.a = sa.doc_id
+         |  JOIN sigs sb ON cands.b = sb.doc_id)
+         |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.30
+         |ORDER BY a, b""".stripMargin
+    },
+
     // simhash replayed exactly: FNV-1a per word (xor in signed BIGINT is
     // bit-equal to unsigned xor; the wrapping multiply runs in HUGEINT
     // mod 2^64 and wraps back to signed), then ±1 votes per bit over all
