@@ -126,6 +126,31 @@ object PipelineQueries {
         |  CAST(((nf - 1) // 4 + 1) * w AS BIGINT) AS frame_bytes
         |FROM f WHERE nf > 0 ORDER BY media_id""".stripMargin,
 
+    // the STUB feature extractor (16 block-means over body bytes) replayed
+    // with float32 emulation: DuckDB REAL division is the same
+    // correctly-rounded IEEE binary32 op as the JVM's float division, so
+    // the per-block (sum/n)/255 chain is bit-identical before the double
+    // sum and 5-digit round. ASCII corpus ⇒ body bytes == ascii(char).
+    "q65_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS n,
+        |    greatest(1, strlen(text) // 16) AS blk, text
+        |  FROM documents),
+        |feat AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 16), i ->
+        |      CASE WHEN least(n, (i + 1) * blk) - i * blk <= 0 THEN 0.0
+        |      ELSE CAST(CAST(CAST(CAST(
+        |        list_aggregate(list_transform(
+        |          range(i * blk + 1, least(n, (i + 1) * blk) + 1),
+        |          j -> ascii(text[j])), 'sum') AS REAL)
+        |        / CAST(least(n, (i + 1) * blk) - i * blk AS REAL) AS REAL)
+        |        / CAST(255 AS REAL) AS REAL) AS DOUBLE) END) AS outs
+        |  FROM f)
+        |SELECT media_id,
+        |  round(list_aggregate(outs, 'sum'), 5) AS feature_sum
+        |FROM feat ORDER BY media_id""".stripMargin,
+
     // syntheticMedia's header is pure doc_id arithmetic (w = 16 + id%64,
     // h = 16 + (id/64)%64, 3 channels, fmt = id%2) and its body is the
     // UTF-8 text bytes — so the decode/resize groupBys are mirrorable in
