@@ -80,8 +80,8 @@ object ExtraQueries {
         .orderBy("p_partkey")),
 
     "q58_xxhash_bucket" -> ((s, d) =>
-      // url-hash bucketing (north_rule partitioning transform); xxhash64
-      // is Spark-specific → rows-only, deterministic
+      // url-hash bucketing (north_rule partitioning transform); oracled
+      // since round 3 by replaying XXH64 in SQL (XxHash64Sql)
       customer(s, d)
         .withColumn("bucket", pmod(xxhash64(col("c_name")), lit(16)))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -142,6 +142,11 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Spark's xxhash64 (XXH64, seed 42) replayed bit-exactly in SQL —
+    // see XxHash64Sql for the staged-CTE technique
+    "q58_xxhash_bucket" ->
+      XxHash64Sql.bucketCountSql("customer", "c_name", 16),
+
     "q29_null_safe" ->
       """SELECT c_custkey, COUNT(*) AS n,
         |CAST(SUM(CASE WHEN o_orderkey IS NOT DISTINCT FROM NULL

@@ -1,0 +1,113 @@
+package graft.queries
+
+/** Generates DuckDB SQL that replays Spark's `xxhash64` (XXH64, seed 42)
+  * over a sub-32-byte STRING column, bit-exactly.
+  *
+  * Technique: the hash state is threaded through a chain of tiny CTE
+  * stages, each one primitive op (a read, a wrapping multiply, a rotate,
+  * an xor) on NAMED columns — referencing names keeps the SQL linear in
+  * the number of ops instead of exploding exponentially through nested
+  * substitution. Wrapping 64-bit arithmetic runs in HUGEINT mod 2^64 with
+  * constants split into 32-bit halves (so no product exceeds INT128);
+  * xor drops to signed BIGINT and back. Out-of-range string reads behind
+  * the length guards are harmless: DuckDB's s[i] past the end is '' and
+  * ascii('') = 0, and the guarded CASE keeps the prior state anyway.
+  *
+  * Scope: inputs must be < 32 bytes (no stripe loop) — the guard maps
+  * longer strings to NULL so a violation surfaces as an oracle mismatch,
+  * never as a silently wrong hash. ASCII-only (byte == ascii(char)),
+  * like every byte-level oracle in this repo.
+  */
+object XxHash64Sql {
+
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val Half = "9223372036854775808::HUGEINT"
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  private def s_(x: String) =
+    s"CAST(CASE WHEN $x >= $Half THEN $x - $M64 ELSE $x END AS BIGINT)"
+  private def u_(x: String) =
+    s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $M64 ELSE $x::HUGEINT END)"
+  private def xorU(a: String, b: String) = u_(s"xor(${s_(a)}, ${s_(b)})")
+  private def mulc(x: String, c: Long) = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"(($lo::HUGEINT * $x + (($hi::HUGEINT * $x) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $M64)"
+  }
+  private def rotl(x: String, r: Int) =
+    s"(((($x * ${1L << r}::HUGEINT) % $M64) + " +
+      s"($x // ${1L << (64 - r)}::HUGEINT)) % $M64)"
+  private def addc(x: String, c: Long) =
+    s"(($x + ${java.lang.Long.toUnsignedString(c)}::HUGEINT) % $M64)"
+  private def shr(x: String, r: Int) = s"($x // ${1L << r}::HUGEINT)"
+  private def read(pos: String, nBytes: Int) =
+    (0 until nBytes).map(j =>
+      s"ascii(nm[$pos + $j])::HUGEINT * ${1L << (8 * j)}::HUGEINT")
+      .mkString("(", " + ", ")")
+
+  /** SQL computing `bucket = pmod(xxhash64(col), nBuckets), n = count(*)`
+    * per bucket over `table`, ordered by bucket — Spark's
+    * url-hash-bucketing transform replayed for the driver compare. */
+  def bucketCountSql(table: String, col: String, nBuckets: Int): String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def stage(exprs: (String, String)*): Unit = {
+      val overridden = exprs.map(_._1).toSet
+      val carry = Seq("nm", "n", "t", "h").filterNot(overridden)
+      val cols = (carry ++ exprs.map { case (c, e) => s"$e AS $c" })
+        .mkString(", ")
+      val prev = if (i == 0) "base" else s"x${i - 1}"
+      stages += s"x$i AS (SELECT $cols FROM $prev)"
+      i += 1
+    }
+
+    val base =
+      s"base AS (SELECT $col AS nm, strlen($col) AS n, 0 AS t, " +
+        s"CASE WHEN strlen($col) < 32 THEN ((42::HUGEINT + " +
+        s"${java.lang.Long.toUnsignedString(P5)}::HUGEINT" +
+        s" + strlen($col)::HUGEINT) % $M64) END AS h FROM $table)"
+
+    for (b <- 0 until 3) { // ≤ 3 8-byte rounds below the 32-byte stripe
+      stage("k" -> read(s"${1 + 8 * b}", 8))
+      stage("k" -> mulc("k", P2))
+      stage("k" -> rotl("k", 31))
+      stage("k" -> mulc("k", P1))
+      stage("hx" -> xorU("h", "k"))
+      stage("hx" -> rotl("hx", 27))
+      stage("hx" -> mulc("hx", P1))
+      stage("h" ->
+        s"CASE WHEN n >= ${8 * (b + 1)} THEN ${addc("hx", P4)} ELSE h END")
+    }
+    // one optional 4-byte round, then tail start offset t
+    stage("k" -> read("(n // 8) * 8 + 1", 4))
+    stage("k" -> mulc("k", P1))
+    stage("hx" -> xorU("h", "k"))
+    stage("hx" -> rotl("hx", 23))
+    stage("hx" -> mulc("hx", P2))
+    stage("h" -> s"CASE WHEN n % 8 >= 4 THEN ${addc("hx", P3)} ELSE h END",
+      "t" -> "(n // 8) * 8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END")
+    for (b <- 1 to 3) { // ≤ 3 tail bytes (n % 4 of them)
+      stage("k" -> s"ascii(nm[t + $b])::HUGEINT")
+      stage("k" -> mulc("k", P5))
+      stage("hx" -> xorU("h", "k"))
+      stage("hx" -> rotl("hx", 11))
+      stage("h" -> s"CASE WHEN n % 4 >= $b THEN ${mulc("hx", P1)} ELSE h END")
+    }
+    // avalanche
+    stage("h" -> xorU("h", shr("h", 33)))
+    stage("h" -> mulc("h", P2))
+    stage("h" -> xorU("h", shr("h", 29)))
+    stage("h" -> mulc("h", P3))
+    stage("h" -> xorU("h", shr("h", 32)))
+    stage("h" -> s_("h"))
+
+    s"WITH $base,\n" + stages.mkString(",\n") +
+      s"\nSELECT ((h % $nBuckets) + $nBuckets) % $nBuckets AS bucket, " +
+      s"COUNT(*) AS n FROM x${i - 1} GROUP BY 1 ORDER BY bucket"
+  }
+}
