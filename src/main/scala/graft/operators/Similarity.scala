@@ -54,20 +54,27 @@ object Similarity {
     * global top-k survives its partition's partial top-k and the output is
     * bit-identical (asserted vs the naive window in Round3Spec and by the
     * unchanged q50 DuckDB oracle). */
-  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    // the typed partial top-k carries ids as LONG; fail fast on
-    // non-integral id columns (hash or zip such ids to longs first) and
-    // cast the output back so the caller's id type survives round-trip
-    val idType = vectors.schema(idCol).dataType
+  /** These operators carry ids as LONG internally (the typed partial
+    * top-k and bucket maps); fail fast on non-integral id columns — a
+    * silent cast would null every id — and cast outputs back so the
+    * caller's id type survives round-trip. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): org.apache.spark.sql.types.DataType = {
+    val idType = df.schema(idCol).dataType
     val integral: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.LongType)
     require(integral.contains(idType),
-      s"bruteForceTopK needs an integral id column, got $idCol: $idType " +
+      s"$op needs an integral id column, got $idCol: $idType " +
         "— derive one first (xxhash64 / monotonically_increasing_id)")
+    idType
+  }
+
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val idType = requireIntegralId(vectors, idCol, "bruteForceTopK")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qvec"))
     val v = vectors.select(col(idCol).cast("long").as("vec_id2"),
@@ -144,6 +151,7 @@ object Similarity {
     * relation just to reattach a column the map already had in hand. */
   def lshBucketsWithVec(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int): DataFrame = {
+    requireIntegralId(vectors, idCol, "lshBuckets")
     val spark = vectors.sparkSession
     import spark.implicits._
     val ps = planes(nBits, dim)
@@ -177,7 +185,7 @@ object Similarity {
   /** ANN near-duplicate pairs: same LSH bucket → verify exact cosine. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int, threshold: Double): DataFrame = {
-    val idType = vectors.schema(idCol).dataType
+    val idType = requireIntegralId(vectors, idCol, "embeddingNearDups")
     val withB = lshBucketsWithVec(vectors, idCol, vecCol, nBits, dim)
     withB.as("l").join(withB.as("r"),
         col("l.bucket") === col("r.bucket") &&
@@ -206,7 +214,7 @@ object Similarity {
     * folded in cell_id order with a strict > test. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
-    val idType = vectors.schema(idCol).dataType
+    val idType = requireIntegralId(vectors, idCol, "ivfTopK")
     val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"))
     // ONE broadcast row holding all centroids, sorted by cell_id so the
@@ -215,9 +223,14 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("cell_id"), col("cvec"))))
         .as("cells"))
     val negInf = lit(Double.NegativeInfinity)
+    // init = (lowest cell_id, -inf): a vector whose cosine is NULL
+    // against EVERY centroid (zero-norm) must land in the lowest cell,
+    // exactly like the window form's NULLS LAST + cell_id ASC — a -1
+    // sentinel would silently drop it from the index
     def nearestCell(vec: Column): Column =
       aggregate(col("cells"),
-        struct(lit(-1L).as("cell_id"), negInf.as("sim")),
+        struct(element_at(col("cells"), 1).getField("cell_id")
+          .as("cell_id"), negInf.as("sim")),
         (acc, c) => {
           // zero-norm cosine is null → -inf, ranking below any real sim
           // (the window form's DESC NULLS LAST)

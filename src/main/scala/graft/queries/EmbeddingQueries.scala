@@ -133,32 +133,23 @@ object EmbeddingQueries {
          |  round(cos, 6) AS cos_r
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // expressed via cosSql so every cosine oracle in this file shares ONE
+    // representation of the dot/sqrt association and zero-norm guard
     "q50_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-        |  FROM embeddings WHERE vec_id < 8),
-        |norms AS (
-        |  SELECT q.query_id, v.vec_id AS neighbor_id,
-        |    list_aggregate(list_transform(list_zip(q.qvec, v.embedding),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-        |      AS dot,
-        |    list_aggregate(list_transform(q.qvec,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS na,
-        |    list_aggregate(list_transform(v.embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS nb
-        |  FROM embeddings v, q WHERE v.vec_id <> q.query_id),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    CASE WHEN na * nb = 0 THEN NULL
-        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
-        |  FROM norms),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
-        |    PARTITION BY query_id
-        |    ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rk
-        |  FROM scored)
-        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
-        |  round(cos, 6) AS cos_r
-        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id,
+         |    ${cosSql("q.qvec", "v.embedding")} AS cos
+         |  FROM embeddings v, q WHERE v.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+         |  round(cos, 6) AS cos_r
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q51_label_centroid_sim" ->
       s"""SELECT label, COUNT(*) AS n,

@@ -6,9 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation surface over `documents`: dedup family, text analysis,
-  * token statistics. SQL-expressible ops carry DuckDB oracles; signature-
-  * based ops (minhash/simhash/fingerprint) are deterministic but not
-  * SQL-expressible → rows-only driver check + exact ScalaTest specs.
+  * token statistics. Every entry carries a DuckDB oracle since round 3 —
+  * the signature ops (minhash/simhash/fingerprint) are replayed exactly
+  * via HUGEINT mod-2^64 arithmetic (see the per-oracle comments). Those
+  * byte-level oracles assume the driver corpus's verified shape: pure
+  * ASCII, single-space separated, no leading/trailing whitespace (Java's
+  * split(' ') drops trailing empties; DuckDB's string_split keeps them —
+  * equal only on that shape).
   */
 object TextQueries {
   type QFn = (SparkSession, String) => DataFrame
@@ -46,8 +50,8 @@ object TextQueries {
           Q.dsum(col("jaccard")).as("sum_jaccard"))),
 
     "q45_minhash_neardup" -> ((s, d) =>
-      // deterministic but not SQL-expressible: rows-only driver check;
-      // exactness vs true jaccard asserted in DedupSpec
+      // oracled since round 3 (signatures + banding replayed in SQL);
+      // estimate-vs-true-jaccard exactness asserted in OperatorsSpec
       Dedup.minhashNearDups(documents(s, d), "text", "doc_id",
           k = 2, numHashes = 64, bands = 32, threshold = 0.30)
         .orderBy("a", "b")),
@@ -77,6 +81,38 @@ object TextQueries {
           Q.dsum(col("n_chars").cast("double")).as("sum_chars"))
         .orderBy("lang", "source"))
   )
+
+  /** FNV-1a 64 of the ASCII string column `c`, as a DuckDB list_reduce
+    * lambda: xor runs in signed BIGINT (bit-equal to unsigned xor), the
+    * wrapping multiply in HUGEINT mod 2^64, wrapped back to signed —
+    * shared by the q45 (shingle) and q46 (word) oracles so the
+    * arithmetic can never desynchronize between them. */
+  private def fnvSql(c: String): String =
+    s"""list_reduce(
+       |      list_prepend(-3750763034362895579,
+       |        list_transform(range(1, strlen($c) + 1), i -> ascii($c[i]))),
+       |      (h, c) -> CAST(
+       |        CASE WHEN ((CASE WHEN xor(h, c) < 0
+       |                    THEN xor(h, c)::HUGEINT
+       |                         + 18446744073709551616::HUGEINT
+       |                    ELSE xor(h, c)::HUGEINT END)
+       |                   * 1099511628211::HUGEINT)
+       |                  % 18446744073709551616::HUGEINT
+       |                  >= 9223372036854775808::HUGEINT
+       |          THEN ((CASE WHEN xor(h, c) < 0
+       |                 THEN xor(h, c)::HUGEINT
+       |                      + 18446744073709551616::HUGEINT
+       |                 ELSE xor(h, c)::HUGEINT END)
+       |                * 1099511628211::HUGEINT)
+       |               % 18446744073709551616::HUGEINT
+       |               - 18446744073709551616::HUGEINT
+       |          ELSE ((CASE WHEN xor(h, c) < 0
+       |                 THEN xor(h, c)::HUGEINT
+       |                      + 18446744073709551616::HUGEINT
+       |                 ELSE xor(h, c)::HUGEINT END)
+       |                * 1099511628211::HUGEINT)
+       |               % 18446744073709551616::HUGEINT
+       |          END AS BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q40_word_topk" ->
@@ -163,32 +199,7 @@ object TextQueries {
         s"($h, ${a >>> 32}::HUGEINT, ${a & 0xffffffffL}::HUGEINT, " +
           s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
       }.mkString(", ")
-      val fnv =
-        """list_reduce(
-          |      list_prepend(-3750763034362895579,
-          |        list_transform(range(1, strlen(sh) + 1), i -> ascii(sh[i]))),
-          |      (h, c) -> CAST(
-          |        CASE WHEN ((CASE WHEN xor(h, c) < 0
-          |                    THEN xor(h, c)::HUGEINT
-          |                         + 18446744073709551616::HUGEINT
-          |                    ELSE xor(h, c)::HUGEINT END)
-          |                   * 1099511628211::HUGEINT)
-          |                  % 18446744073709551616::HUGEINT
-          |                  >= 9223372036854775808::HUGEINT
-          |          THEN ((CASE WHEN xor(h, c) < 0
-          |                 THEN xor(h, c)::HUGEINT
-          |                      + 18446744073709551616::HUGEINT
-          |                 ELSE xor(h, c)::HUGEINT END)
-          |                * 1099511628211::HUGEINT)
-          |               % 18446744073709551616::HUGEINT
-          |               - 18446744073709551616::HUGEINT
-          |          ELSE ((CASE WHEN xor(h, c) < 0
-          |                 THEN xor(h, c)::HUGEINT
-          |                      + 18446744073709551616::HUGEINT
-          |                 ELSE xor(h, c)::HUGEINT END)
-          |                * 1099511628211::HUGEINT)
-          |               % 18446744073709551616::HUGEINT
-          |          END AS BIGINT))""".stripMargin
+      val fnv = fnvSql("sh")
       val mulmod =
         """((hp.al * bu + ((hp.ah * bu) % 4294967296::HUGEINT)
           |               * 4294967296::HUGEINT + hp.b)
@@ -241,36 +252,12 @@ object TextQueries {
     // word occurrences, then the 64-bit fingerprint reassembled with the
     // sign bit handled explicitly. ASCII-only corpus (charAt == ascii).
     "q46_simhash" ->
-      """WITH words AS (
+      s"""WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
         |hashed AS (
         |  SELECT doc_id,
-        |    list_reduce(
-        |      list_prepend(-3750763034362895579,
-        |        list_transform(range(1, strlen(w) + 1), i -> ascii(w[i]))),
-        |      (h, c) -> CAST(
-        |        CASE WHEN ((CASE WHEN xor(h, c) < 0
-        |                    THEN xor(h, c)::HUGEINT
-        |                         + 18446744073709551616::HUGEINT
-        |                    ELSE xor(h, c)::HUGEINT END)
-        |                   * 1099511628211::HUGEINT)
-        |                  % 18446744073709551616::HUGEINT
-        |                  >= 9223372036854775808::HUGEINT
-        |          THEN ((CASE WHEN xor(h, c) < 0
-        |                 THEN xor(h, c)::HUGEINT
-        |                      + 18446744073709551616::HUGEINT
-        |                 ELSE xor(h, c)::HUGEINT END)
-        |                * 1099511628211::HUGEINT)
-        |               % 18446744073709551616::HUGEINT
-        |               - 18446744073709551616::HUGEINT
-        |          ELSE ((CASE WHEN xor(h, c) < 0
-        |                 THEN xor(h, c)::HUGEINT
-        |                      + 18446744073709551616::HUGEINT
-        |                 ELSE xor(h, c)::HUGEINT END)
-        |                * 1099511628211::HUGEINT)
-        |               % 18446744073709551616::HUGEINT
-        |          END AS BIGINT)) AS h
+        |    ${fnvSql("w")} AS h
         |  FROM words),
         |votes AS (
         |  SELECT doc_id, b,

@@ -16,7 +16,9 @@ package graft.queries
   * Scope: inputs must be < 32 bytes (no stripe loop) — the guard maps
   * longer strings to NULL so a violation surfaces as an oracle mismatch,
   * never as a silently wrong hash. ASCII-only (byte == ascii(char)),
-  * like every byte-level oracle in this repo.
+  * like every byte-level oracle in this repo. A NULL input hashes to the
+  * seed itself (Spark's hash functions skip null children), mirrored by
+  * a final NULL override.
   */
 object XxHash64Sql {
 
@@ -104,7 +106,8 @@ object XxHash64Sql {
     stage("h" -> xorU("h", shr("h", 29)))
     stage("h" -> mulc("h", P3))
     stage("h" -> xorU("h", shr("h", 32)))
-    stage("h" -> s_("h"))
+    // xxhash64(NULL) = the seed, unhashed (Spark skips null children)
+    stage("h" -> s"CASE WHEN nm IS NULL THEN 42 ELSE ${s_("h")} END")
 
     s"WITH $base,\n" + stages.mkString(",\n") +
       s"\nSELECT ((h % $nBuckets) + $nBuckets) % $nBuckets AS bucket, " +

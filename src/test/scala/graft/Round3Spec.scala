@@ -164,6 +164,24 @@ class Round3Spec extends SparkTestBase {
         plan.take(2000))
   }
 
+  test("ivfTopK indexes zero-norm vectors like the window form would") {
+    import spark.implicits._
+    // a zero-norm vector's cosine is NULL against every centroid; the
+    // fold must assign it to the LOWEST cell (window: NULLS LAST +
+    // cell_id ASC), not drop it — it must remain reachable as a
+    // (null-cos, ranked-last) neighbor
+    val vecs = ((0L until 12L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i + j) % 5 + 1).toFloat))) :+
+      (12L, Seq.fill(4)(0f))).toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 0)
+    val out = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      nCells = 2, nProbe = 2, k = 12)
+    val got = out.collect()
+      .map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got.contains(12L), s"zero-norm vector dropped: ${got.keySet}")
+    assert(got(12L).isEmpty, "zero-norm cosine must be NULL")
+  }
+
   // ---------------- n-gram jaccard hash-keyed candidates ----------------
 
   test("hash-keyed jaccard candidates equal exact string-keyed jaccard") {
