@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.sources.Tables._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,39 +16,38 @@ object Round3Queries {
 
   val queries: Map[String, QFn] = Map(
     "q87_stream_sessionize" -> ((s, d) => {
-      // The file streaming source requires a DIRECTORY of files (probed:
-      // a bare file path fails with "basePath must be a directory"), so
-      // stage the events table into a per-run temp dir — at web scale the
-      // input already is a directory of parquet parts. All staged files
-      // are present before start ⇒ ONE trigger ⇒ the emitted rows are
-      // exactly the batch q33-idiom sessions minus each user's
+      // The file streaming source requires a DIRECTORY basePath, so
+      // stream the sf dir itself with a pathGlobFilter selecting the
+      // events table (no staging copy); if events.parquet is itself a
+      // directory of parts (Spark-written), stream it directly. All
+      // input files exist before start ⇒ ONE trigger ⇒ the emitted rows
+      // are exactly the batch q33-idiom sessions minus each user's
       // chronologically-last (still-open) session, which is what the
-      // DuckDB oracle computes. The memory sink materializes the rows, so
-      // the staging dir is deleted before returning.
-      val tmpDir = java.nio.file.Files.createTempDirectory("graft-q87").toFile
+      // DuckDB oracle computes.
+      val src = new java.io.File(s"$d/events.parquet")
+      val stream =
+        if (src.isDirectory) EventsStream.sessionizeStream(s,
+          src.getAbsolutePath)
+        else EventsStream.sessionizeStream(s, d,
+          pathGlobFilter = Some("events.parquet"))
+      val name = s"q87_sessions_${runSeq.incrementAndGet()}"
+      val closed = EventsStream.runToMemory(s, stream, name, "append")
       try {
-        val staged = new java.io.File(tmpDir, "ev").getAbsolutePath
-        events(s, d).write.mode("overwrite").parquet(staged)
-        val name = s"q87_sessions_${runSeq.incrementAndGet()}"
-        val closed = EventsStream.runToMemory(s,
-          EventsStream.sessionizeStream(s, staged), name, "append")
-        try {
-          val agg = closed.groupBy("user_id")
-            .agg(count(lit(1)).as("n_closed"),
-              sum(col("n_events")).as("events_in_closed"),
-              max(col("n_events")).as("max_session_events"))
-            .orderBy("user_id")
-          // materialize the (one-row-per-user) aggregate so the memory-
-          // sink table can be dropped — otherwise every invocation would
-          // leak a sink table into the catalog for the life of the session
-          val rows = agg.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-        } finally {
-          // drop on the failure path too, not just on success
-          s.catalog.dropTempView(name)
-          ()
-        }
-      } finally graft.core.Fs.deleteRecursively(tmpDir)
+        val agg = closed.groupBy("user_id")
+          .agg(count(lit(1)).as("n_closed"),
+            sum(col("n_events")).as("events_in_closed"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+        // materialize the (one-row-per-user) aggregate so the memory-
+        // sink table can be dropped — otherwise every invocation would
+        // leak a sink table into the catalog for the life of the session
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        // drop on the failure path too, not just on success
+        s.catalog.dropTempView(name)
+        ()
+      }
     })
   )
 

@@ -74,14 +74,22 @@ object EventsStream {
     * with `withWatermark` + `GroupStateTimeout.EventTimeTimeout`; the
     * NoTimeout form here matches the run-to-completion test harness. */
   def sessionizeStream(spark: SparkSession, dir: String,
-      gapSeconds: Double = 1800.0): DataFrame = {
+      gapSeconds: Double = 1800.0,
+      pathGlobFilter: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // state = (sessStartEpoch, lastTsEpoch, nEvents); epochs are FRACTIONAL
     // double seconds — the gap compares sub-second precision exactly like
     // the q33 batch idiom (epoch-double difference > gap ⇒ new session), so
     // an 1800.8 s gap splits here too instead of truncating to 1800
-    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+    //
+    // pathGlobFilter lets a caller stream ONE file out of a directory of
+    // tables (the file source requires a directory basePath; a bare file
+    // path is rejected with "basePath must be a directory")
+    val reader = spark.readStream.schema(eventSchema)
+    val withGlob = pathGlobFilter
+      .fold(reader)(g => reader.option("pathGlobFilter", g))
+    val ev = withGlob.parquet(dir)
       .select(col("user_id"),
         col("ts").cast("timestamp_ltz").cast("double").as("epoch"))
       .as[(Long, Double)]
