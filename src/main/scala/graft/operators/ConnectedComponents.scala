@@ -11,7 +11,8 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: min-label propagation with POINTER JUMPING — each round
   *   1. comp'(u) = min(comp(u), min over neighbors v of comp(v))
-  *   2. comp''(u) = comp(comp'(u))       // halves pointer chains → O(log n)
+  *   2. comp''(u) = comp(comp'(u))       // pointer jump
+  *   3. comp'''(u) = comp(comp''(u))     // second jump: ~log3(L) rounds
   * until no label changes. Labels are node ids; the fixpoint label is the
   * component's minimum node id (exactly the UnionFind oracle's output).
   *
@@ -124,7 +125,23 @@ object ConnectedComponents {
         col("comp").as("jumped"))
       val step2 = step1.join(jump, Seq("comp1"), "left_outer")
         .select(col("node"), col("oldComp"),
-          least(col("comp1"), coalesce(col("jumped"), col("comp1"))).as("comp"))
+          least(col("comp1"), coalesce(col("jumped"), col("comp1")))
+            .as("comp2"))
+      // 3. second jump against the same label table: each extra hop
+      // shortens pointer chains by another label lookup per round, so a
+      // length-L chain converges in ~log3(L) instead of ~log2(L) rounds.
+      // One extra node-granularity join per round buys one FEWER round —
+      // i.e. one fewer checkpoint write + job dispatch, the dominant
+      // per-round fixed cost both here and on a real cluster. Correctness
+      // is unchanged: labels only ever decrease and any label reached via
+      // comp() stays inside the component (same monotone-contraction
+      // argument as the first jump).
+      val jump2 = labels.select(col("node").as("comp2"),
+        col("comp").as("jumped2"))
+      val step3 = step2.join(jump2, Seq("comp2"), "left_outer")
+        .select(col("node"), col("oldComp"),
+          least(col("comp2"), coalesce(col("jumped2"), col("comp2")))
+            .as("comp"))
       iter += 1
       val name = s"round_$iter"
       // convergence count piggybacks on the write pass via an accumulator:
@@ -134,7 +151,7 @@ object ConnectedComponents {
       // false zero — worst case is one extra (no-op) iteration.
       val changeAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       import spark.implicits._
-      val counted = step2.as[(Long, Long, Long)].map { row =>
+      val counted = step3.as[(Long, Long, Long)].map { row =>
         if (row._2 != row._3) changeAcc.add(1L)
         row
       }.toDF("node", "oldComp", "comp")
