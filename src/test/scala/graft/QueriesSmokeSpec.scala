@@ -17,6 +17,13 @@ class QueriesSmokeSpec extends SparkTestBase {
       val df = fn(spark, sf)
       val n = df.count()
       if (!mayBeEmpty.contains(name)) assert(n > 0, s"$name returned 0 rows")
+      // universal plan net: a non-broadcast cartesian product is never
+      // acceptable in ANY query (broadcast cross joins against tiny
+      // sides plan as BroadcastNestedLoopJoin, which Round3Spec polices
+      // per-query); executedPlan is post-AQE after the count above
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
     }
   }
 
