@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 class OracleAssumptionsSpec extends SparkTestBase {
 
-  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   test("documents.text is printable ASCII — byte == ascii(char)") {
     for (d <- dirs) {
