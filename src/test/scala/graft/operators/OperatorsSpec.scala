@@ -35,6 +35,24 @@ class OperatorsSpec extends SparkTestBase {
       (11L, 10L)))
   }
 
+  test("CC fixpoint equals union-find on random multigraphs (seeded)") {
+    import spark.implicits._
+    // random edges including self-loops, duplicates, isolated chains —
+    // the net behind the double-pointer-jump round structure
+    val rng = new scala.util.Random(0xcc3)
+    for (trial <- 1 to 3) {
+      val n = 30 + rng.nextInt(40)
+      val edges = (1 to n).map { _ =>
+        (rng.nextInt(60).toLong, rng.nextInt(60).toLong)
+      }
+      val df = edges.toDF("src", "dst").repartition(1 + rng.nextInt(5))
+      val got = ConnectedComponents.run(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = UnionFind.componentsOf(edges)
+      assert(got == want, s"trial $trial (n=$n)")
+    }
+  }
+
   test("CC runManaged close() frees the run's backing files") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
