@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-shape assumptions the byte-level DuckDB oracles replay
+  * (q45/q46/q47 FNV + rolling hashes, q58 XXH64, q65 float block-means,
+  * and the hashed-key candidate joins in q44/q45). Checked in TWO places:
+  * OracleAssumptionsSpec (sbt test) and Verify.main itself — so a
+  * regenerated testdata dir that violates one fails the VERIFY RUN with a
+  * named reason instead of surfacing as a confusing oracle hash mismatch
+  * after the driver's DuckDB compare.
+  */
+object OracleAssumptions {
+
+  /** All violated assumptions for `dir` (empty = clean). Each entry names
+    * the assumption and the oracles that depend on it. */
+  def violations(spark: SparkSession, dir: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val nonAscii = docs
+      .where(!col("text").rlike("^[\\x20-\\x7e]*$")).count()
+    if (nonAscii > 0) out += s"$dir: $nonAscii non-printable-ASCII docs " +
+      "— the q46/q47/q65 byte-level oracles assume ascii(char) == UTF-8 byte"
+
+    val badSpacing = docs
+      .where(col("text").startsWith(" ") || col("text").endsWith(" ") ||
+        col("text").contains("  ")).count()
+    if (badSpacing > 0) out += s"$dir: $badSpacing docs with irregular " +
+      "spacing — Java split(' ') drops trailing empties while DuckDB " +
+      "string_split keeps them (q45/q46 oracles)"
+
+    val badName = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_name").isNull || length(col("c_name")) >= 32 ||
+        !col("c_name").rlike("^[\\x20-\\x7e]*$")).count()
+    if (badName > 0) out += s"$dir: $badName c_name values outside the " +
+      "q58 XXH64 oracle's sub-32-byte ASCII scope"
+
+    val badDim = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(size(col("embedding")) =!= 64).count()
+    if (badDim > 0) out += s"$dir: $badDim non-64-dim embeddings " +
+      "(q52's embedded hyperplanes assume dim 64)"
+
+    // q44/q45 candidate joins key on 64-bit hashes while their DuckDB
+    // oracles join on the exact shingle strings / band slices: equality
+    // holds only while the corpus has NO 64-bit collisions among distinct
+    // shingles (ADVICE r3). Pin it: distinct xxhash64(3-shingle) count
+    // must equal distinct 3-shingle count. (The q45 band hash is 32-bit
+    // Murmur3 over 4-element signature slices — same pin over the band
+    // keys.)
+    val sh = docs.select(
+      explode(graft.operators.Dedup.shingles(col("text"), 3)).as("s"))
+    val Array(nShingle, nHash) = sh
+      .agg(countDistinct(col("s")), countDistinct(xxhash64(col("s"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nShingle != nHash) out += s"$dir: xxhash64 collision among " +
+      s"distinct 3-shingles ($nShingle strings, $nHash hashes) — the " +
+      "q44 hashed-key candidate join would admit pairs the exact-string " +
+      "oracle rejects"
+
+    // q45's exact parameters: k=2 shingles, 64 hashes, 32 bands of 2
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(docs, "text", "doc_id", k = 2, numHashes = 64)
+    val bands = sigs.select(posexplode(
+      transform(sequence(lit(0), lit(31)), b =>
+        struct(slice(col("signature"), b * 2 + 1, lit(2)).as("sl"),
+          hash(slice(col("signature"), b * 2 + 1, lit(2)), b).as("h"))))
+      .as(Seq("band", "v")))
+      .select(col("band"), col("v.sl").as("sl"), col("v.h").as("h"))
+    val collided = bands.groupBy("band", "h")
+      .agg(countDistinct(col("sl")).as("n"))
+      .where(col("n") > 1).count()
+    if (collided > 0) out += s"$dir: $collided Murmur3 band-hash " +
+      "collisions among distinct signature slices — the q45 banded " +
+      "candidate join would admit pairs the exact-slice oracle rejects"
+
+    out.result()
+  }
+}

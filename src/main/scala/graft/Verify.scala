@@ -15,6 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail the verify run ITSELF, with named reasons, if the testdata no
+    // longer satisfies the assumptions the byte-replaying DuckDB oracles
+    // were derived under — otherwise a regenerated corpus surfaces as a
+    // wall of unexplained hash mismatches after the driver's compare.
+    val violations = OracleAssumptions.violations(spark, sfDir)
+    if (violations.nonEmpty) {
+      val msg = "oracle corpus-shape assumptions violated:\n" +
+        violations.mkString("\n")
+      Files.writeString(Paths.get(s"$outDir/ASSUMPTIONS_VIOLATED.txt"),
+        msg + "\n")
+      System.err.println(s"[verify] $msg")
+      spark.stop()
+      sys.exit(3)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

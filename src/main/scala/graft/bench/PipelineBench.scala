@@ -30,6 +30,11 @@ object PipelineBench {
     val nPages = if (args.nonEmpty) args(0).toLong else 120000L
     val outJson = if (args.length > 1) args(1) else "BENCH/pipeline.json"
     val nCores = if (args.length > 2) args(2).toInt else 8
+    // 4th arg "skew": one url-hash bucket carries 10× the pages of every
+    // other (FixtureSpark.pagesSkewed) — the hub-host distribution. Same
+    // protocol otherwise, so the reported N→4N pair measures scaling
+    // efficiency UNDER skew, not just on uniform buckets.
+    val skewed = args.length > 3 && args(3) == "skew"
 
     // ---- one-time input materialization (not timed) ----
     val work = Files.createTempDirectory("graft-bench").toString
@@ -37,7 +42,9 @@ object PipelineBench {
     val warmDir = s"$work/pages_warm"
     locally {
       val spark = session(32)
-      val pages = FixtureSpark.pages(spark, nPages, 256)
+      val pages =
+        if (skewed) FixtureSpark.pagesSkewed(spark, nPages, 256)
+        else FixtureSpark.pages(spark, nPages, 256)
       Icebergish.write(Icebergish.withBucket(pages.toDF(), 256), pagesDir)
       val warm = FixtureSpark.pages(spark, 2000L, 32)
       Icebergish.write(Icebergish.withBucket(warm.toDF(), 256), warmDir)
@@ -88,6 +95,7 @@ object PipelineBench {
     val efficiency = (thr32 / thr8) / 4.0
     val json =
       s"""{"metric":"pipeline_docs_per_sec","n_pages":$nPages,""" +
+        s""""skewed_input":$skewed,""" +
         s""""triples":$trip8,""" +
         s""""local$c8":{"wall_s":$wall8,"docs_per_sec":$thr8},""" +
         s""""local$c32":{"wall_s":$wall32,"docs_per_sec":$thr32},""" +

@@ -75,6 +75,9 @@ object Similarity {
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val idType = requireIntegralId(vectors, idCol, "bruteForceTopK")
+    // the queries side is cast("long") too — guard it the same way, or a
+    // string/decimal-id query table would silently null every query_id
+    requireIntegralId(queries, idCol, "bruteForceTopK (queries side)")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qvec"))
     val v = vectors.select(col(idCol).cast("long").as("vec_id2"),
@@ -215,6 +218,7 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
     val idType = requireIntegralId(vectors, idCol, "ivfTopK")
+    requireIntegralId(queries, idCol, "ivfTopK (queries side)")
     val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cvec"))
     // ONE broadcast row holding all centroids, sorted by cell_id so the

@@ -31,6 +31,49 @@ object FixtureSpark {
     }
   }
 
+  /** Spark-compatible xxhash64(url) % buckets — the SAME function
+    * Icebergish.withBucket applies as a Column, evaluated row-side so the
+    * generator can TARGET a bucket. (XXH64 with Spark's seed 42 over the
+    * UTF8String bytes is exactly what the xxhash64 expression computes
+    * for a string column.) */
+  private[pipeline] def sparkBucketOf(url: String, buckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val m = h % buckets
+    (if (m < 0) m + buckets else m).toInt
+  }
+
+  /** Pages with a SKEWED url-hash bucket distribution: one hot bucket
+    * (bucket 0) carries `hotFactor`× the pages of every other bucket —
+    * the hub-host pattern (one crawl host dominating a shard) the
+    * salting/AQE machinery exists for. Each page id picks a target
+    * bucket from the skewed distribution, then the url is nudged with
+    * the smallest suffix that lands its ACTUAL Spark hash in that
+    * bucket — so Icebergish.withBucket sees real url-hash buckets, the
+    * colocated triple write stays shuffle-free, and the whole input is
+    * still pure in (seed, id) (identical at any parallelism). */
+  def pagesSkewed(spark: SparkSession, n: Long, partitions: Int,
+      buckets: Int = 256, hotFactor: Int = 10): Dataset[Page] = {
+    import spark.implicits._
+    val slots = buckets - 1 + hotFactor
+    spark.range(0L, n, 1L, partitions).mapPartitions { it =>
+      it.map { id =>
+        val p = FixtureGen.page(id)
+        val slot = (id % slots).toInt
+        val target = if (slot < hotFactor) 0 else slot - hotFactor + 1
+        var j = 0
+        var url = s"${p.url}?s=$j"
+        while (sparkBucketOf(url, buckets) != target) {
+          j += 1
+          url = s"${p.url}?s=$j"
+        }
+        Page(url, new Timestamp(p.warcTsMicros / 1000L), p.html, null,
+          p.lang)
+      }
+    }
+  }
+
   def entities(spark: SparkSession): DataFrame = {
     import spark.implicits._
     FixtureGen.entities().toDF("entity_id", "canonical", "cls")

@@ -69,6 +69,32 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    "q88_cc_bridged" -> ((s, d) => {
+      // q63's oracled topology is the friendliest case (disjoint chains:
+      // pointer-jump depth, no merges). This variant adds cross-links so
+      // the HASH-CHECKED path also exercises label-merge contention —
+      // three chains fused per 250-block, with block m+2 receiving two
+      // racing labels (block m's min via one bridge, block m+1's via
+      // another) — while staying WITH RECURSIVE-closable in DuckDB
+      // (components ≤ 150 nodes). dst endpoints are pure arithmetic on
+      // the src key, identical on both sides, so node-set parity holds
+      // even past the max customer key.
+      val c = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"))
+      val chains = c.where(col("k") % 50 =!= 49)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val b1 = c.where(col("k") % 250 === 0)
+        .select(col("k").as("src"), (col("k") + 50).as("dst"))
+      val b2 = c.where(col("k") % 250 === 10)
+        .select(col("k").as("src"), (col("k") + 110).as("dst"))
+      val b3 = c.where(col("k") % 250 === 75)
+        .select(col("k").as("src"), (col("k") + 50).as("dst"))
+      val edges = chains.unionByName(b1).unionByName(b2).unionByName(b3)
+      ConnectedComponents.run(s, edges)
+        .select(col("node"), col("comp"))
+        .orderBy("node")
+    }),
+
     "q64_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(documents(s, d))
       Multimodal.decodeMeta(media)
@@ -178,6 +204,29 @@ object PipelineQueries {
         |    ELSE GREATEST(1, (body_len * 1024) // px) END) AS BIGINT)
         |    AS total_bytes
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+
+    "q88_cc_bridged" ->
+      """WITH RECURSIVE
+        |ch AS (SELECT c_custkey AS src, c_custkey + 1 AS dst
+        |       FROM customer WHERE c_custkey % 50 <> 49),
+        |b1 AS (SELECT c_custkey AS src, c_custkey + 50 AS dst
+        |       FROM customer WHERE c_custkey % 250 = 0),
+        |b2 AS (SELECT c_custkey AS src, c_custkey + 110 AS dst
+        |       FROM customer WHERE c_custkey % 250 = 10),
+        |b3 AS (SELECT c_custkey AS src, c_custkey + 50 AS dst
+        |       FROM customer WHERE c_custkey % 250 = 75),
+        |edges AS (SELECT * FROM ch UNION ALL SELECT * FROM b1
+        |          UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+        |sym AS (SELECT src AS u, dst AS v FROM edges
+        |        UNION SELECT dst AS u, src AS v FROM edges),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.u, rr.r FROM sym s JOIN reach rr ON s.v = rr.node
+        |)
+        |SELECT node, MIN(r) AS comp FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q63_connected_components" ->
       """WITH RECURSIVE

@@ -14,6 +14,10 @@ object Round3Queries {
     * (Bench runs every query twice: warm-up + timed). */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Hard cap on the q87 driver-side collect (rows = distinct users;
+    * the driver testdata has 50). */
+  private[queries] val MaxSessionUsers = 100000L
+
   val queries: Map[String, QFn] = Map(
     "q87_stream_sessionize" -> ((s, d) => {
       // The file streaming source requires a DIRECTORY basePath, so
@@ -31,7 +35,11 @@ object Round3Queries {
         else EventsStream.sessionizeStream(s, d,
           pathGlobFilter = Some("events.parquet"))
       val name = s"q87_sessions_${runSeq.incrementAndGet()}"
-      val closed = EventsStream.runToMemory(s, stream, name, "append")
+      // requireSingleBatch: the oracle equality DEPENDS on one-trigger
+      // consumption (see sessionizeStream's late-data contract), so the
+      // assumption is asserted at run time, not just stated above
+      val closed = EventsStream.runToMemory(s, stream, name, "append",
+        requireSingleBatch = true)
       try {
         val agg = closed.groupBy("user_id")
           .agg(count(lit(1)).as("n_closed"),
@@ -40,7 +48,17 @@ object Round3Queries {
           .orderBy("user_id")
         // materialize the (one-row-per-user) aggregate so the memory-
         // sink table can be dropped — otherwise every invocation would
-        // leak a sink table into the catalog for the life of the session
+        // leak a sink table into the catalog for the life of the session.
+        // The collect is bounded to one row per user; fail LOUDLY (same
+        // pattern as KgPipeline.maxAliasRows) before it if someone points
+        // this test surface at a high-cardinality events table — the
+        // memory sink is driver-side by definition, so past this scale
+        // the production path is a real sink, not this query.
+        val nUsers = agg.count()
+        require(nUsers <= MaxSessionUsers,
+          s"q87's memory-sink surface collects one row per user; " +
+            s"$nUsers users exceeds the $MaxSessionUsers cap — use a " +
+            "durable sink for high-cardinality event tables")
         val rows = agg.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       } finally {

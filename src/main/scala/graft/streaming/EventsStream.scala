@@ -72,7 +72,16 @@ object EventsStream {
     * of extending a session backwards in time. Production deployments
     * wanting bounded state and final-session emission should pair this
     * with `withWatermark` + `GroupStateTimeout.EventTimeTimeout`; the
-    * NoTimeout form here matches the run-to-completion test harness. */
+    * NoTimeout form here matches the run-to-completion test harness.
+    *
+    * SCHEMA BREAK (round 3): the state type changed from
+    * (Long, Long, Long) epoch-second tuples to (Double, Double, Long)
+    * FRACTIONAL epoch seconds, and the output columns sess_start /
+    * sess_end changed LONG → DOUBLE with it (sub-second gaps now compare
+    * exactly instead of truncating to whole seconds). Any checkpoint
+    * written by the round-2 form is state-schema INCOMPATIBLE — restart
+    * such a query from a fresh checkpoint dir — and downstream consumers
+    * of the output table see DOUBLE where they saw LONG. */
   def sessionizeStream(spark: SparkSession, dir: String,
       gapSeconds: Double = 1800.0,
       pathGlobFilter: Option[String] = None): DataFrame = {
@@ -126,11 +135,30 @@ object EventsStream {
   /** Run a streaming query over a static parquet dir to completion via the
     * memory sink (the local test harness for the streaming operators). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      outputMode: String): DataFrame = {
+      outputMode: String): DataFrame =
+    runToMemory(spark, df, name, outputMode, requireSingleBatch = false)
+
+  /** As `runToMemory`; with `requireSingleBatch` the call FAILS unless the
+    * source delivered all input in exactly ONE non-empty micro-batch.
+    * Callers whose semantics depend on single-trigger consumption (q87's
+    * oracle equality: the sessionizer drops cross-trigger late events, the
+    * batch oracle never drops) assert the assumption at run time instead
+    * of trusting that nobody ever sets maxFilesPerTrigger / lands files
+    * mid-run. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String, requireSingleBatch: Boolean): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
     q.processAllAvailable()
     q.stop()
+    if (requireSingleBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"$name consumed its input in $dataBatches non-empty micro-batches" +
+          ", not 1 — the single-trigger assumption (no cross-trigger late" +
+          " drops) does not hold; check maxFilesPerTrigger/latestFirst and" +
+          " that no files landed mid-run")
+    }
     spark.table(name)
   }
 }
