@@ -1,0 +1,41 @@
+package graft.bench
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: fixpoint round counts + wall for the two oracled CC
+  * topologies (q63 disjoint chains vs q88 bridged chains) at a given
+  * sf dir — separates "more rounds" from "slower rounds". */
+object CcRoundsProbe {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val c = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey").cast("long").as("k"))
+    val chains = c.where(col("k") % 50 =!= 49)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+    val b1 = c.where(col("k") % 250 === 0)
+      .select(col("k").as("src"), (col("k") + 50).as("dst"))
+    val b2 = c.where(col("k") % 250 === 10)
+      .select(col("k").as("src"), (col("k") + 110).as("dst"))
+    val b3 = c.where(col("k") % 250 === 75)
+      .select(col("k").as("src"), (col("k") + 50).as("dst"))
+    val bridged = chains.unionByName(b1).unionByName(b2).unionByName(b3)
+    for ((name, e) <- Seq("q63-chains" -> chains, "q88-bridged" -> bridged);
+         trial <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val h = ConnectedComponents.runManaged(spark, e)
+      val n = h.labels.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"[ccprobe] $name%-12s trial=$trial rounds=${h.rounds} nodes=$n wall=$w%.2f s")
+      // scalastyle:on println
+      h.close()
+    }
+    spark.stop()
+  }
+}

@@ -62,7 +62,11 @@ object ConnectedComponents {
     * otherwise accumulate one final-round directory per run. The DataFrame
     * must not be used after close(). Idempotent. */
   final class CcHandle private[ConnectedComponents] (
-      val labels: DataFrame, dir: java.io.File) {
+      val labels: DataFrame, dir: java.io.File,
+      /** fixpoint rounds actually executed (incl. the final no-change
+        * round) — the per-round job cost dominates small graphs, so this
+        * is the number to watch when a topology gets slower */
+      val rounds: Int) {
     def close(): Unit = {
       pendingDirs.remove(dir)
       deleteRecursively(dir)
@@ -120,24 +124,45 @@ object ConnectedComponents {
       val step1 = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("comp").as("oldComp"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp1"))
-      // 2. pointer jump: comp2(u) = comp(comp1(u))
-      val jump = labels.select(col("node").as("comp1"),
-        col("comp").as("jumped"))
+      // 1b. root update (the hash-to-min trick): members report their new
+      // min UP to the label they were pointing at, so the jump table the
+      // steps below read is the previous labels IMPROVED by this round's
+      // member discoveries. Without it, a merge discovered at one member
+      // of an already-contracted cluster (one bridge endpoint) reaches the
+      // cluster's root only hop-by-hop along original edges — measured 22
+      // rounds on the q88 bridged-chain topology vs 7 with it (CcRoundsProbe;
+      // on a 10^12-edge graph each round is a full edge-join job, so round
+      // count IS the cost). The aggregate is label-granularity (map-side
+      // combine collapses each cluster to one row per partition).
+      // only IMPROVED members can improve their root: comp(root) ≤ root's
+      // own id ≤ any stale report, so filtering to comp1 < oldComp keeps
+      // the aggregate input at changed-node granularity (tiny near
+      // convergence) without affecting the result
+      val rootMin = step1.where(col("comp1") < col("oldComp"))
+        .groupBy(col("oldComp").as("node"))
+        .agg(min(col("comp1")).as("memberMin"))
+      val jt = labels.join(rootMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("memberMin"), col("comp")))
+            .as("best"))
+      // 2. pointer jump through the improved table: comp2(u) = jt(comp1(u))
+      val jump = jt.select(col("node").as("comp1"), col("best").as("jumped"))
       val step2 = step1.join(jump, Seq("comp1"), "left_outer")
         .select(col("node"), col("oldComp"),
           least(col("comp1"), coalesce(col("jumped"), col("comp1")))
             .as("comp2"))
-      // 3. second jump against the same label table: each extra hop
+      // 3. second jump against the same improved table: each extra hop
       // shortens pointer chains by another label lookup per round, so a
       // length-L chain converges in ~log3(L) instead of ~log2(L) rounds.
       // One extra node-granularity join per round buys one FEWER round —
       // i.e. one fewer checkpoint write + job dispatch, the dominant
       // per-round fixed cost both here and on a real cluster. Correctness
-      // is unchanged: labels only ever decrease and any label reached via
-      // comp() stays inside the component (same monotone-contraction
-      // argument as the first jump).
-      val jump2 = labels.select(col("node").as("comp2"),
-        col("comp").as("jumped2"))
+      // is unchanged by 1b/2/3: labels only ever decrease, and every
+      // adopted label (a neighbor's comp, a member's comp1, a jump target)
+      // is the id of a node in the SAME component — so the fixpoint is
+      // still exactly min-id-per-component (same monotone-contraction
+      // argument as before; asserted against union-find in specs).
+      val jump2 = jt.select(col("node").as("comp2"), col("best").as("jumped2"))
       val step3 = step2.join(jump2, Seq("comp2"), "left_outer")
         .select(col("node"), col("oldComp"),
           least(col("comp2"), coalesce(col("jumped2"), col("comp2")))
@@ -166,6 +191,6 @@ object ConnectedComponents {
       // fixpoint must not pin MEMORY_AND_DISK blocks for the session
       e.unpersist(blocking = false)
     }
-    new CcHandle(labels, runDir)
+    new CcHandle(labels, runDir, iter)
   }
 }
