@@ -25,7 +25,7 @@ def canon(rows, cols):
     return sorted(out), [cols[i] for i in order]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
@@ -33,6 +33,8 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = n_err = 0
+    if only:
+        oracles = {k: v for k, v in oracles.items() if only in k}
     for name in sorted(oracles):
         sql = oracles[name]
         spark_dir = f"{out_dir}/{name}"
@@ -70,4 +72,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

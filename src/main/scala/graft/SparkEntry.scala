@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.ExtraQueries.queries ++
       graft.queries.SourceQueries.queries ++
       graft.queries.Round2Queries.queries ++
-      graft.queries.Round3Queries.queries
+      graft.queries.Round3Queries.queries ++
+      graft.queries.Round4Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.ExtraQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
       graft.queries.Round2Queries.oracles ++
-      graft.queries.Round3Queries.oracles
+      graft.queries.Round3Queries.oracles ++
+      graft.queries.Round4Queries.oracles
 }

@@ -121,9 +121,17 @@ object ConnectedComponents {
       val nbrMin = e.join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("comp")).as("nbrComp"))
+      // step1 is referenced THREE times below (rootMin, step2, and via jt
+      // both jumps) and Spark does not dedupe common subplans — without a
+      // persist the round's ONE edge join would execute once per
+      // reference (measured: q63 6.4 → 22-66 s in the full bench when the
+      // cached edge blocks start evicting; at 10^12 edges a 3× edge join
+      // per round is the difference between the plan and 3× the plan).
+      // Node-granularity rows, freed right after the round's parquet lands.
       val step1 = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("comp").as("oldComp"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // 1b. root update (the hash-to-min trick): members report their new
       // min UP to the label they were pointing at, so the jump table the
       // steps below read is the previous labels IMPROVED by this round's
@@ -141,10 +149,12 @@ object ConnectedComponents {
       val rootMin = step1.where(col("comp1") < col("oldComp"))
         .groupBy(col("oldComp").as("node"))
         .agg(min(col("comp1")).as("memberMin"))
+      // jt feeds BOTH jumps — same dedupe argument as step1
       val jt = labels.join(rootMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("memberMin"), col("comp")))
             .as("best"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // 2. pointer jump through the improved table: comp2(u) = jt(comp1(u))
       val jump = jt.select(col("node").as("comp1"), col("best").as("jumped"))
       val step2 = step1.join(jump, Seq("comp1"), "left_outer")
@@ -182,6 +192,10 @@ object ConnectedComponents {
       }.toDF("node", "oldComp", "comp")
       val round = persistRound(counted, name)
       changed = changeAcc.value
+      // the round's parquet now holds everything downstream needs — free
+      // the intra-round caches before the next round allocates its own
+      step1.unpersist(blocking = false)
+      jt.unpersist(blocking = false)
       labels = round.select("node", "comp")
       deleteRecursively(new java.io.File(runDir, prevName))
       prevName = name

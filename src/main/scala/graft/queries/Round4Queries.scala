@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.operators.CorpusOps
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: the corpus-curation layer ABOVE dedup — deterministic
+  * sampling (reproducible train/dev splits), TF-IDF term scoring, corpus
+  * n-gram statistics, and benchmark decontamination. Every query carries a
+  * DuckDB oracle; the hash-based samplers replay Spark's xxhash64 exactly
+  * via the XxHash64Sql HUGEINT CTE chain (round-3 technique), so even the
+  * "random" draws are hash-checked.
+  */
+object Round4Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // deterministic 37% Bernoulli-by-hash split over documents — the
+    // reproducible train/dev sampler; membership is a pure row function
+    "q89_sample_hash" -> ((s, d) =>
+      CorpusOps.sampleByHash(documents(s, d), col("doc_id"), 37)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // per-language quota of 20 docs in deterministic hash order; rn is
+    // the stable intra-stratum draw index
+    "q90_sample_stratified" -> ((s, d) =>
+      CorpusOps.stratifiedSampleByHash(documents(s, d), "lang", "doc_id", 20)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rn"))
+        .orderBy("lang", "rn")),
+
+    // per-document top-5 TF-IDF terms (smooth idf, round-6 libm policy)
+    "q91_tfidf" -> ((s, d) =>
+      CorpusOps.tfIdf(documents(s, d), "text", "doc_id", 5)
+        .orderBy("doc", "term")),
+
+    // corpus top-30 word bigrams by frequency
+    "q92_ngram_counts" -> ((s, d) =>
+      CorpusOps.ngramCounts(documents(s, d), "text", k = 2, topK = 30)),
+
+    // benchmark decontamination: docs sharing any 3-gram with the
+    // "benchmark" slice (doc_id % 97 == 0), with shared-gram counts
+    "q93_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      CorpusOps.contaminationCounts(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", k = 3)
+        .orderBy("doc")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q89_sample_hash" -> {
+      val (cte, fin) = XxHash64Sql.hashCte("documents",
+        "CAST(doc_id AS VARCHAR)", Seq("doc_id", "lang", "source", "n_chars"))
+      s"""$cte
+         |SELECT doc_id, lang, source, n_chars FROM $fin
+         |WHERE ${XxHash64Sql.pmodSql("h", 100)} < 37
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q90_sample_stratified" -> {
+      val (cte, fin) = XxHash64Sql.hashCte("documents",
+        "CAST(doc_id AS VARCHAR)", Seq("doc_id", "lang"))
+      s"""$cte,
+         |r AS (SELECT lang, doc_id, CAST(row_number() OVER (
+         |  PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rn FROM $fin)
+         |SELECT lang, doc_id, rn FROM r WHERE rn <= 20
+         |ORDER BY lang, rn""".stripMargin
+    },
+
+    "q91_tfidf" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc, tf.term AS term, tf.tf AS tf, dfq.df AS df,
+        |  ROUND(CAST(tf.tf AS DOUBLE) *
+        |    (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc ORDER BY tfidf DESC, term ASC) AS rn FROM sc)
+        |SELECT doc, term, tf, df, tfidf FROM r WHERE rn <= 5
+        |ORDER BY doc, term""".stripMargin,
+
+    "q92_ngram_counts" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT unnest([array_to_string(words[i:i+1], ' ')
+        |  FOR i IN range(1, greatest(len(words) - 1, 1) + 1)]) AS gram
+        |  FROM w)
+        |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram ASC LIMIT 30""".stripMargin,
+
+    "q93_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, list_distinct([
+        |    array_to_string(words[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(words) - 2, 1) + 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+        |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id AS doc, gram FROM ex
+        |           WHERE doc_id % 97 <> 0)
+        |SELECT doc, COUNT(*) AS n_shared
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc ORDER BY doc""".stripMargin)
+}

@@ -52,24 +52,32 @@ object XxHash64Sql {
       s"ascii(nm[$pos + $j])::HUGEINT * ${1L << (8 * j)}::HUGEINT")
       .mkString("(", " + ", ")")
 
-  /** SQL computing `bucket = pmod(xxhash64(col), nBuckets), n = count(*)`
-    * per bucket over `table`, ordered by bucket — Spark's
-    * url-hash-bucketing transform replayed for the driver compare. */
-  def bucketCountSql(table: String, col: String, nBuckets: Int): String = {
+  /** The WITH-clause chain attaching `h` = Spark `xxhash64(col)` (signed
+    * BIGINT) to every row of `table`, threading `carry` columns through
+    * unchanged. Returns (withClauses, finalRelationName) so callers
+    * compose their own SELECT — sampling filters, stratified windows, the
+    * bucket count below. `carry` names must not collide with the four
+    * internal state columns (nm, n, t, h). */
+  def hashCte(table: String, col: String,
+      carry: Seq[String]): (String, String) = {
+    require(carry.forall(c => !Seq("nm", "n", "t", "h").contains(c)),
+      s"carry columns collide with hash-state names: $carry")
     val stages = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     def stage(exprs: (String, String)*): Unit = {
       val overridden = exprs.map(_._1).toSet
-      val carry = Seq("nm", "n", "t", "h").filterNot(overridden)
-      val cols = (carry ++ exprs.map { case (c, e) => s"$e AS $c" })
+      val kept =
+        (carry ++ Seq("nm", "n", "t", "h")).filterNot(overridden)
+      val cols = (kept ++ exprs.map { case (c, e) => s"$e AS $c" })
         .mkString(", ")
       val prev = if (i == 0) "base" else s"x${i - 1}"
       stages += s"x$i AS (SELECT $cols FROM $prev)"
       i += 1
     }
 
+    val carrySel = carry.map(c => s"$c, ").mkString
     val base =
-      s"base AS (SELECT $col AS nm, strlen($col) AS n, 0 AS t, " +
+      s"base AS (SELECT $carrySel$col AS nm, strlen($col) AS n, 0 AS t, " +
         s"CASE WHEN strlen($col) < 32 THEN ((42::HUGEINT + " +
         s"${java.lang.Long.toUnsignedString(P5)}::HUGEINT" +
         s" + strlen($col)::HUGEINT) % $M64) END AS h FROM $table)"
@@ -109,8 +117,29 @@ object XxHash64Sql {
     // xxhash64(NULL) = the seed, unhashed (Spark skips null children)
     stage("h" -> s"CASE WHEN nm IS NULL THEN 42 ELSE ${s_("h")} END")
 
-    s"WITH $base,\n" + stages.mkString(",\n") +
-      s"\nSELECT ((h % $nBuckets) + $nBuckets) % $nBuckets AS bucket, " +
-      s"COUNT(*) AS n FROM x${i - 1} GROUP BY 1 ORDER BY bucket"
+    // The final stage is MATERIALIZED: a consumer filtering on h (the
+    // hash sampler) would otherwise have its predicate pushed down
+    // through every projection stage by expression SUBSTITUTION — each
+    // stage references the previous h 2–3×, so the rewritten predicate
+    // grows ~3^stages and the optimizer hangs (measured: >240 s on 500
+    // rows without the barrier, 0.4 s with it). Aggregate/window
+    // consumers (bucket counts, stratified rn) were naturally immune —
+    // this makes the barrier explicit for every consumer shape.
+    stages(stages.length - 1) = stages.last
+      .replaceFirst("AS \\(SELECT", "AS MATERIALIZED (SELECT")
+
+    (s"WITH $base,\n" + stages.mkString(",\n"), s"x${i - 1}")
+  }
+
+  /** `pmod(h, n)` over the signed hash column — Spark's pmod replayed. */
+  def pmodSql(expr: String, n: Int): String = s"((($expr) % $n) + $n) % $n"
+
+  /** SQL computing `bucket = pmod(xxhash64(col), nBuckets), n = count(*)`
+    * per bucket over `table`, ordered by bucket — Spark's
+    * url-hash-bucketing transform replayed for the driver compare. */
+  def bucketCountSql(table: String, col: String, nBuckets: Int): String = {
+    val (cte, fin) = hashCte(table, col, Nil)
+    s"$cte\nSELECT ${pmodSql("h", nBuckets)} AS bucket, " +
+      s"COUNT(*) AS n FROM $fin GROUP BY 1 ORDER BY bucket"
   }
 }

@@ -44,11 +44,12 @@ class QueriesSmokeSpec extends SparkTestBase {
     *   - q50: brute-force scorer — data × broadcast 8-row query set
     *   - q53: IVF assignment — data × broadcast ONE-ROW centroid array
     *     (the probe join is an equi-join on cell_id, not counted here)
+    *   - q91: TF-IDF — (doc, term) counts × broadcast ONE-ROW corpus size
     */
   test("BroadcastNestedLoopJoin appears ONLY in the pinned cross-join set") {
     assume(plans.size == SparkEntry.queries.size, "needs all plans recorded")
     val expected = Set("q36_watermark_filter", "q50_cosine_topk",
-      "q53_ivf_topk")
+      "q53_ivf_topk", "q91_tfidf")
     val got = plans.filter(_._2.contains("BroadcastNestedLoopJoin"))
       .keySet.toSet
     assert(got == expected,
@@ -72,7 +73,8 @@ class QueriesSmokeSpec extends SparkTestBase {
       "q37_percent_rank" -> "window over the tiny bucket-count table",
       "q53_ivf_topk" -> "collect_list of 16 centroids into one row",
       "q51_label_centroid_sim" -> "single-partition agg over 4 label rows",
-      "q67_span_f1" -> "global SpanF1 typed-UDAF: one partial per task")
+      "q67_span_f1" -> "global SpanF1 typed-UDAF: one partial per task",
+      "q91_tfidf" -> "broadcast ONE-ROW corpus-size count(*) aggregate")
     val got = plans.filter(_._2.contains("Exchange SinglePartition"))
       .keySet.toSet
     assert(got.subsetOf(expected.keySet),

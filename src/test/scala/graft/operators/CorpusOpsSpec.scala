@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CorpusOps: deterministic sampling, TF-IDF, n-gram stats,
+  * decontamination. The samplers' cross-engine exactness is covered by the
+  * q89/q90 DuckDB oracles; here we pin the *distributed-correctness*
+  * properties (partition invariance, bounded-heap == naive window) and
+  * exact values on hand-checkable corpora.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("sampleByHash membership is invariant under repartitioning") {
+    val base = CorpusOps.sampleByHash(docs, col("doc_id"), 37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.nonEmpty && base.size < docs.count(),
+      "sample should be a proper nonempty subset")
+    for (p <- Seq(1, 7)) {
+      val re = CorpusOps.sampleByHash(docs.repartition(p), col("doc_id"), 37)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(re == base, s"membership changed at repartition($p)")
+    }
+    // complement property: pct and its complement partition the corpus
+    val anti = CorpusOps.sampleByHash(docs, col("doc_id"), 100)
+    assert(anti.count() == docs.count(), "pct=100 must keep everything")
+    assert(CorpusOps.sampleByHash(docs, col("doc_id"), 0).count() == 0L)
+  }
+
+  test("stratifiedSampleByHash == naive window, bit-identical") {
+    val quota = 20
+    val got = CorpusOps.stratifiedSampleByHash(docs, "lang", "doc_id", quota)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // naive: full window over the whole stratum, no per-partition heap
+    val w = Window.partitionBy("stratum").orderBy(col("h"), col("id"))
+    val naive = docs.select(
+        col("lang").cast("string").as("stratum"),
+        col("doc_id").cast("long").as("id"),
+        xxhash64(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= quota)
+      .select("stratum", "id", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+    // every stratum filled to its quota (sf0.001 has ≥ quota docs per lang)
+    val perStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perStratum.values.forall(_ == quota),
+      s"unfilled strata: ${perStratum.filter(_._2 != quota)}")
+  }
+
+  test("stratifiedSampleByHash honors quota when a stratum is smaller") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("lang", "doc_id").repartition(4)
+    val got = CorpusOps.stratifiedSampleByHash(tiny, "lang", "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
+  test("rawShingles keeps duplicates; boundary matches Dedup.shingles") {
+    import spark.implicits._
+    val df = Seq("x y x y", "solo").toDF("text")
+    val raw = df.select(CorpusOps.rawShingles(col("text"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(raw(0) == Seq("x y", "y x", "x y"))  // multiset — dup kept
+    assert(raw(1) == Seq("solo"))               // short-doc single gram
+  }
+
+  test("tfIdf exact values on a hand-checked corpus") {
+    import spark.implicits._
+    // 3 docs; "rare" appears in 1 doc, "common" in all 3
+    val corpus = Seq(
+      (1L, "common rare common"),
+      (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val got = CorpusOps.tfIdf(corpus, "text", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    def idf(df: Long) = math.log(4.0 / (1.0 + df)) + 1.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Set(
+      (1L, "common", 2L, 3L, r6(2 * idf(3))),
+      (1L, "rare", 1L, 1L, r6(idf(1))),
+      (2L, "common", 1L, 3L, r6(idf(3))),
+      (2L, "x", 1L, 1L, r6(idf(1))),
+      (3L, "common", 1L, 3L, r6(idf(3))),
+      (3L, "y", 1L, 1L, r6(idf(1))))
+    assert(got == want)
+  }
+
+  test("ngramCounts exact on a tiny corpus, tie-broken by gram") {
+    import spark.implicits._
+    val corpus = Seq("a b a b", "a b c").toDF("text")
+    val got = CorpusOps.ngramCounts(corpus, "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // "a b": 2+1=3; "b a": 1; "b c": 1 — ties ordered gram asc
+    assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("contaminationCounts: exact counts, broadcast probe plan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 2 grams with bench
+      (2L, "totally clean document here"), // shares none — absent
+      (3L, "quick brown fox quick brown fox")) // dup grams count ONCE
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.contaminationCounts(corpus, bench, "text", "doc_id", 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (3L, 1L)))  // shared gram: "quick brown fox"
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast — the corpus must not shuffle")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
