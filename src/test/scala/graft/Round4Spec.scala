@@ -206,4 +206,28 @@ class Round4Spec extends SparkTestBase {
     assert((1 until 256).forall(b2 => hist(b2) == 10L),
       s"cold buckets uneven: ${hist.filter(_._2 != 10L)}")
   }
+
+  // ---------------- CC fixpoint cache hygiene ----------------
+
+  /** The per-round step1/jump-table persists (added to keep the edge join
+    * exactly-once per round — Spark does not dedupe common subplans) must
+    * all be RELEASED by the time runManaged returns: a long-lived driver
+    * running many fixpoints must not accumulate cached blocks. `e` and the
+    * per-round caches unpersist with blocking=false, so poll briefly. */
+  test("CC fixpoint releases every persisted RDD it created") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 400L).filter(_ % 20 != 19)
+      .map(k => (k, k + 1)).toDF("src", "dst")
+    val h = ConnectedComponents.runManaged(spark, edges)
+    assert(h.labels.count() == 400L)
+    h.close()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(leaked.isEmpty, s"fixpoint left cached RDDs behind: $leaked")
+  }
 }
