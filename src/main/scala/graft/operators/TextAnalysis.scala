@@ -92,6 +92,49 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Repetition-based quality signals (the Gopher-rules family): documents
+    * dominated by one repeated phrase are boilerplate/spam. Pure built-in
+    * HOFs (codegen'd, no UDF):
+    *   - distinct_word_ratio: |distinct words| / |words| (low = repetitive)
+    *   - top_bigram_frac: occurrences of the most frequent word bigram /
+    *     total bigrams (high = one phrase dominates)
+    * Per-row double division only — no aggregation-order float caveats,
+    * so the DuckDB oracle compares exactly. The per-doc top-bigram scan is
+    * O(|distinct bigrams| × |bigrams|); documents are row-sized, not
+    * corpus-sized, so this stays cheap and embarrassingly parallel. */
+  def repetitionSignals(text: Column): (Column, Column) = {
+    val w = words(text)
+    val grams = CorpusOps.rawShingles(text, 2)
+    val distinctRatio =
+      size(array_distinct(w)).cast("double") / size(w).cast("double")
+    val topBigramFrac =
+      array_max(transform(array_distinct(grams),
+        d => size(filter(grams, x => x === d)))).cast("double") /
+        size(grams).cast("double")
+    (distinctRatio, topBigramFrac)
+  }
+
+  /** Email regex shared by the Spark op and the DuckDB oracle (kept to the
+    * RE2/Java-compatible subset both engines parse identically). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Phone-ish regex (NNN-NNNN with optional NNN- prefix). */
+  val PhoneRe = "\\b[0-9]{3}-(?:[0-9]{3}-)?[0-9]{4}\\b"
+
+  /** PII scrub: replace emails/phones with typed placeholder tokens and
+    * count what was redacted — the standard pre-training privacy pass.
+    * Order matters: emails first (a phone pattern can never span an
+    * email, but doing it in one fixed order keeps the op deterministic
+    * and the oracle byte-exact). Narrow projection, zero shuffle. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"))
+
   /** 64-bit rolling (polynomial) hash fingerprint of the whole document —
     * order-sensitive, unlike a bag-of-words hash. Typed map (no UDF
     * registry), deterministic. */

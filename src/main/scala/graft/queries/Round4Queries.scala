@@ -48,6 +48,30 @@ object Round4Queries {
         docs.where(col("doc_id") % 97 === 0),
         "text", "doc_id", k = 3)
         .orderBy("doc")
+    }),
+
+    // Gopher-style repetition quality signals, pure HOFs
+    "q94_repetition_signals" -> ((s, d) => {
+      val (dr, tb) = graft.operators.TextAnalysis
+        .repetitionSignals(col("text"))
+      documents(s, d).select(col("doc_id"),
+          dr.as("distinct_word_ratio"), tb.as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub on text with deterministically injected emails/phones
+    // (the corpus itself is synthetic keywords — inject from doc_id so
+    // the redaction actually fires and the oracle checks real matches)
+    "q95_pii_redact" -> ((s, d) => {
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      graft.operators.TextAnalysis.piiRedact(withPii, "text")
+        .select("doc_id", "n_emails", "n_phones", "redacted")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -105,5 +129,38 @@ object Round4Queries {
         |           WHERE doc_id % 97 <> 0)
         |SELECT doc, COUNT(*) AS n_shared
         |FROM corpus JOIN bench USING (gram)
-        |GROUP BY doc ORDER BY doc""".stripMargin)
+        |GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // per-row double division of exactly-representable ints — no float
+    // aggregation caveat, IEEE-identical in both engines
+    "q94_repetition_signals" ->
+      """WITH g AS (SELECT doc_id, w,
+        |  [array_to_string(w[i:i+1], ' ')
+        |   FOR i IN range(1, greatest(len(w) - 1, 1) + 1)] AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents))
+        |SELECT doc_id,
+        |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
+        |    AS distinct_word_ratio,
+        |  list_max(list_transform(list_distinct(grams),
+        |    d -> len(list_filter(grams, x -> x = d))))::DOUBLE
+        |    / len(grams)::DOUBLE AS top_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q95_pii_redact" -> {
+      // regexes shared verbatim with TextAnalysis (RE2/Java-common subset)
+      val em = graft.operators.TextAnalysis.EmailRe
+      val ph = graft.operators.TextAnalysis.PhoneRe
+      s"""WITH p AS (SELECT doc_id,
+         |  substring(text, 1, 40) || ' contact user' ||
+         |  CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
+         |    '$ph', '[PHONE]', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    })
 }

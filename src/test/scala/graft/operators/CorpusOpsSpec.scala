@@ -102,6 +102,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("repetitionSignals exact on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // 1 distinct of 4; bigrams: "a a" ×3 of 3
+      (2L, "x y x y z"),        // 3/5; bigrams: x y, y x, x y, y z → 2/4
+      (3L, "unique words only") // 3/3; bigrams all distinct → 1/2
+    ).toDF("doc_id", "text")
+    val (dr, tb) = TextAnalysis.repetitionSignals(col("text"))
+    val got = docs.select(col("doc_id"), dr, tb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, 0.25, 1.0), (2L, 0.6, 0.5), (3L, 1.0, 0.5)))
+  }
+
+  test("piiRedact exact counts and replacement text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c@ex-1.org and d@e.io now"),
+      (2L, "call 555-0123 or 555-123-4567 ok"),
+      (3L, "clean text 12-34 no@tld x@y"), // near-misses must NOT match
+      (4L, "both bob@x.co 555-9999")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 2, 0, "mail [EMAIL] and [EMAIL] now"),
+      (2L, 0, 2, "call [PHONE] or [PHONE] ok"),
+      (3L, 0, 0, "clean text 12-34 no@tld x@y"),
+      (4L, 1, 1, "both [EMAIL] [PHONE]")))
+  }
+
   test("contaminationCounts: exact counts, broadcast probe plan") {
     import spark.implicits._
     val corpus = Seq(
