@@ -93,25 +93,35 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Repetition-based quality signals (the Gopher-rules family): documents
-    * dominated by one repeated phrase are boilerplate/spam. Pure built-in
-    * HOFs (codegen'd, no UDF):
+    * dominated by one repeated phrase are boilerplate/spam.
     *   - distinct_word_ratio: |distinct words| / |words| (low = repetitive)
     *   - top_bigram_frac: occurrences of the most frequent word bigram /
     *     total bigrams (high = one phrase dominates)
-    * Per-row double division only — no aggregation-order float caveats,
-    * so the DuckDB oracle compares exactly. The per-doc top-bigram scan is
-    * O(|distinct bigrams| × |bigrams|); documents are row-sized, not
-    * corpus-sized, so this stays cheap and embarrassingly parallel. */
-  def repetitionSignals(text: Column): (Column, Column) = {
-    val w = words(text)
-    val grams = CorpusOps.rawShingles(text, 2)
-    val distinctRatio =
-      size(array_distinct(w)).cast("double") / size(w).cast("double")
-    val topBigramFrac =
-      array_max(transform(array_distinct(grams),
-        d => size(filter(grams, x => x === d)))).cast("double") /
-        size(grams).cast("double")
-    (distinctRatio, topBigramFrac)
+    * Per-row double division of exact ints only — no aggregation-order
+    * float caveats, so the DuckDB oracle compares exactly.
+    *
+    * Shape: the top-bigram count is explode → (doc, gram) count →
+    * per-doc max — two map-side-combinable aggregations at document
+    * granularity. The obvious per-row HOF alternative
+    * (`array_max(transform(array_distinct(grams), d -> size(filter(...))))`)
+    * is O(|distinct|·|grams|) PER DOCUMENT and measured 203 s on the
+    * sf0.1 corpus (long docs) vs ~1 s for this plan — a per-row
+    * quadratic is still a quadratic no matter how parallel the rows. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val grams = CorpusOps.rawShingles(col(textCol), 2)
+    val base = df.select(col(idCol),
+      (size(array_distinct(w)).cast("double") / size(w).cast("double"))
+        .as("distinct_word_ratio"),
+      size(grams).as("n_grams"))
+    val top = df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_cnt"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("distinct_word_ratio"),
+        (col("top_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("top_bigram_frac"))
   }
 
   /** Email regex shared by the Spark op and the DuckDB oracle (kept to the

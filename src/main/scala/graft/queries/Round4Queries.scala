@@ -50,14 +50,11 @@ object Round4Queries {
         .orderBy("doc")
     }),
 
-    // Gopher-style repetition quality signals, pure HOFs
-    "q94_repetition_signals" -> ((s, d) => {
-      val (dr, tb) = graft.operators.TextAnalysis
-        .repetitionSignals(col("text"))
-      documents(s, d).select(col("doc_id"),
-          dr.as("distinct_word_ratio"), tb.as("top_bigram_frac"))
-        .orderBy("doc_id")
-    }),
+    // Gopher-style repetition quality signals (relational top-bigram)
+    "q94_repetition_signals" -> ((s, d) =>
+      graft.operators.TextAnalysis
+        .repetitionSignals(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
 
     // PII scrub on text with deterministically injected emails/phones
     // (the corpus itself is synthetic keywords — inject from doc_id so
@@ -132,20 +129,23 @@ object Round4Queries {
         |GROUP BY doc ORDER BY doc""".stripMargin,
 
     // per-row double division of exactly-representable ints — no float
-    // aggregation caveat, IEEE-identical in both engines
+    // aggregation caveat, IEEE-identical in both engines; n_grams =
+    // max(|words|-1, 1) mirrors rawShingles' short-doc boundary
     "q94_repetition_signals" ->
-      """WITH g AS (SELECT doc_id, w,
-        |  [array_to_string(w[i:i+1], ' ')
-        |   FOR i IN range(1, greatest(len(w) - 1, 1) + 1)] AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |        FROM documents))
-        |SELECT doc_id,
-        |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
-        |    AS distinct_word_ratio,
-        |  list_max(list_transform(list_distinct(grams),
-        |    d -> len(list_filter(grams, x -> x = d))))::DOUBLE
-        |    / len(grams)::DOUBLE AS top_bigram_frac
-        |FROM g ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |base AS (SELECT doc_id,
+        |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS dwr,
+        |  greatest(len(w) - 1, 1) AS n_grams FROM w),
+        |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |  FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS gram
+        |  FROM w),
+        |t AS (SELECT doc_id, max(c) AS top_cnt FROM (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT base.doc_id, dwr AS distinct_word_ratio,
+        |  top_cnt::DOUBLE / n_grams::DOUBLE AS top_bigram_frac
+        |FROM base JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q95_pii_redact" -> {
       // regexes shared verbatim with TextAnalysis (RE2/Java-common subset)

@@ -109,8 +109,7 @@ class CorpusOpsSpec extends SparkTestBase {
       (2L, "x y x y z"),        // 3/5; bigrams: x y, y x, x y, y z → 2/4
       (3L, "unique words only") // 3/3; bigrams all distinct → 1/2
     ).toDF("doc_id", "text")
-    val (dr, tb) = TextAnalysis.repetitionSignals(col("text"))
-    val got = docs.select(col("doc_id"), dr, tb)
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
       .toSet
     assert(got == Set((1L, 0.25, 1.0), (2L, 0.6, 0.5), (3L, 1.0, 0.5)))
