@@ -53,6 +53,16 @@ object CorpusOps {
   def stratifiedSampleByHash(df: DataFrame, strataCol: String, idCol: String,
       quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
+    // same silent-cast trap the similarity operators guard against: a
+    // string/decimal id would cast("long") to null for every row and the
+    // sample would silently collapse to quota rows of null ids
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"stratifiedSampleByHash needs an integral id column, got " +
+        s"$idCol: $idType — derive one first (xxhash64 / zipWithIndex)")
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(
@@ -135,6 +145,31 @@ object CorpusOps {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= topK)
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Deterministic fixed-size token chunking with overlap — the packing
+    * stage that turns documents into model-context-sized training/RAG
+    * windows. Chunk j covers tokens [j·stride, j·stride + chunkSize);
+    * starts run 0, stride, 2·stride, … while < |tokens|, so trailing
+    * chunks may be short (kept — dropping them would lose text).
+    * Narrow explode, zero shuffle; chunk identity (id, chunk_idx) is a
+    * pure function of the row, so downstream dedup/resume work
+    * unchanged at any parallelism.
+    *
+    * Returns (idCol, chunk_idx INT, n_tokens INT, chunk STRING). */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride size=$chunkSize")
+    val w = split(col(textCol), " ")
+    val starts = filter(sequence(lit(0), size(w) - 1),
+      s => s % stride === 0)
+    val chunks = transform(starts, s => struct(
+      size(slice(w, s + 1, lit(chunkSize))).as("n_tokens"),
+      concat_ws(" ", slice(w, s + 1, lit(chunkSize))).as("chunk")))
+    df.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.chunk").as("chunk"))
   }
 
   /** Benchmark decontamination: for every corpus doc, the number of

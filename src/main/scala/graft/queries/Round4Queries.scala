@@ -69,7 +69,13 @@ object Round4Queries {
       graft.operators.TextAnalysis.piiRedact(withPii, "text")
         .select("doc_id", "n_emails", "n_phones", "redacted")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // context-window packing: 32-token chunks, stride 16 (50% overlap)
+    "q96_chunk_tokens" -> ((s, d) =>
+      CorpusOps.chunkTokens(documents(s, d), "text", "doc_id",
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")))
 
   val oracles: Map[String, String] = Map(
     "q89_sample_hash" -> {
@@ -162,5 +168,17 @@ object Round4Queries {
          |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
          |    '$ph', '[PHONE]', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    // range(0, n, 16) mirrors filter(sequence(0, n-1), s % 16 == 0);
+    // both slices truncate at the array end, so trailing chunks match
+    "q96_chunk_tokens" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st
+        |      FROM w)
+        |SELECT doc_id, CAST(st // 16 AS INT) AS chunk_idx,
+        |  CAST(len(w[st + 1 : st + 32]) AS INT) AS n_tokens,
+        |  array_to_string(w[st + 1 : st + 32], ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -134,6 +134,36 @@ class CorpusOpsSpec extends SparkTestBase {
       (4L, 1, 1, "both [EMAIL] [PHONE]")))
   }
 
+  test("chunkTokens: exact windows, overlap, short-doc and tail cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than chunk
+      (3L, "solo")                                     // single token
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(docs, "text", "doc_id",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    val want = Set(
+      (1L, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 4, "w4 w5 w6 w7"),   // stride 3 → one-token overlap
+      (1L, 2, 4, "w7 w8 w9 w10"),
+      (1L, 3, 1, "w10"),           // tail chunk kept, short
+      (2L, 0, 3, "a b c"),
+      (3L, 0, 1, "solo"))
+    assert(got == want)
+  }
+
+  test("stratifiedSampleByHash rejects a non-integral id column") {
+    import spark.implicits._
+    val bad = Seq(("en", "not-a-number")).toDF("lang", "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.stratifiedSampleByHash(bad, "lang", "doc_id", 5)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("contaminationCounts: exact counts, broadcast probe plan") {
     import spark.implicits._
     val corpus = Seq(
