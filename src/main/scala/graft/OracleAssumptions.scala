@@ -47,8 +47,8 @@ object OracleAssumptions {
     // holds only while the corpus has NO 64-bit collisions among distinct
     // shingles (ADVICE r3). Pin it: distinct xxhash64(3-shingle) count
     // must equal distinct 3-shingle count. (The q45 band hash is 32-bit
-    // Murmur3 over 4-element signature slices — same pin over the band
-    // keys.)
+    // Murmur3 over its 2-element signature slices — 32 bands of 2, the
+    // parameters checked below — same pin over the band keys.)
     val sh = docs.select(
       explode(graft.operators.Dedup.shingles(col("text"), 3)).as("s"))
     val Array(nShingle, nHash) = sh

@@ -14,17 +14,12 @@ object CcRoundsProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the SHARED topology builders (graft.queries.PipelineQueries) — a
+    // retuned q63/q88 graph automatically retunes this probe
     val c = spark.read.parquet(s"$d/customer.parquet")
       .select(col("c_custkey").cast("long").as("k"))
-    val chains = c.where(col("k") % 50 =!= 49)
-      .select(col("k").as("src"), (col("k") + 1).as("dst"))
-    val b1 = c.where(col("k") % 250 === 0)
-      .select(col("k").as("src"), (col("k") + 50).as("dst"))
-    val b2 = c.where(col("k") % 250 === 10)
-      .select(col("k").as("src"), (col("k") + 110).as("dst"))
-    val b3 = c.where(col("k") % 250 === 75)
-      .select(col("k").as("src"), (col("k") + 50).as("dst"))
-    val bridged = chains.unionByName(b1).unionByName(b2).unionByName(b3)
+    val chains = graft.queries.PipelineQueries.chainEdges(c)
+    val bridged = graft.queries.PipelineQueries.bridgedChainEdges(c)
     for ((name, e) <- Seq("q63-chains" -> chains, "q88-bridged" -> bridged);
          trial <- 1 to 2) {
       val t0 = System.nanoTime()

@@ -162,8 +162,10 @@ object CorpusOps {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got stride=$stride size=$chunkSize")
     val w = split(col(textCol), " ")
-    val starts = filter(sequence(lit(0), size(w) - 1),
-      s => s % stride === 0)
+    // 3-arg sequence generates the stride-spaced starts DIRECTLY — the
+    // filter-every-index alternative allocates |tokens| ints per row
+    // just to discard (stride-1)/stride of them
+    val starts = sequence(lit(0), size(w) - 1, lit(stride))
     val chunks = transform(starts, s => struct(
       size(slice(w, s + 1, lit(chunkSize))).as("n_tokens"),
       concat_ws(" ", slice(w, s + 1, lit(chunkSize))).as("chunk")))

@@ -109,7 +109,11 @@ object TextAnalysis {
     * quadratic is still a quadratic no matter how parallel the rows. */
   def repetitionSignals(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val w = words(col(textCol))
+    // SAME tokenizer for both signals: single-space split, matching
+    // rawShingles (and the oracle's string_split). Mixing words()'s \s+
+    // here would make the two ratios describe different token streams
+    // on whitespace-irregular input.
+    val w = split(col(textCol), " ")
     val grams = CorpusOps.rawShingles(col(textCol), 2)
     val base = df.select(col(idCol),
       (size(array_distinct(w)).cast("double") / size(w).cast("double"))
@@ -133,17 +137,21 @@ object TextAnalysis {
 
   /** PII scrub: replace emails/phones with typed placeholder tokens and
     * count what was redacted — the standard pre-training privacy pass.
-    * Order matters: emails first (a phone pattern can never span an
-    * email, but doing it in one fixed order keeps the op deterministic
-    * and the oracle byte-exact). Narrow projection, zero shuffle. */
-  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    * Emails are redacted first, and n_phones is counted on the
+    * EMAIL-REDACTED text, so the counts equal the placeholder tokens
+    * actually emitted: a phone-shaped substring inside an email
+    * local-part ("555-123-4567@mail.com") is one email, zero phones —
+    * not a phantom phone count with no [PHONE] token. Narrow
+    * projection, zero shuffle. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+        size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))))
       .withColumn("redacted",
-        regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]"))
+        regexp_replace(afterEmail, PhoneRe, "[PHONE]"))
+  }
 
   /** 64-bit rolling (polynomial) hash fingerprint of the whole document —
     * order-sensitive, unlike a bag-of-words hash. Typed map (no UDF

@@ -20,6 +20,27 @@ object PipelineQueries {
   private def model(s: SparkSession) =
     s.sparkContext.broadcast(KgPipeline.fixtureModel())
 
+  /** Chain edges over a key column: k → k+1 within blocks of 50 — the
+    * q63 oracled topology. Shared with CcRoundsProbe so the probe's
+    * round counts always describe the topology the query actually
+    * ships. */
+  def chainEdges(c: DataFrame): DataFrame =
+    c.where(col("k") % 50 =!= 49)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+
+  /** q88's bridged topology: chains plus three bridge families fusing
+    * chains per 250-block, so two labels race into one component (merge
+    * contention) while staying DuckDB WITH RECURSIVE-closable. */
+  def bridgedChainEdges(c: DataFrame): DataFrame = {
+    val b1 = c.where(col("k") % 250 === 0)
+      .select(col("k").as("src"), (col("k") + 50).as("dst"))
+    val b2 = c.where(col("k") % 250 === 10)
+      .select(col("k").as("src"), (col("k") + 110).as("dst"))
+    val b3 = c.where(col("k") % 250 === 75)
+      .select(col("k").as("src"), (col("k") + 50).as("dst"))
+    chainEdges(c).unionByName(b1).unionByName(b2).unionByName(b3)
+  }
+
   private def canon(s: SparkSession) = {
     val canonicalById = graft.core.FixtureGen.entities()
       .map(e => e.entity_id -> e.canonical).toMap
@@ -62,9 +83,7 @@ object PipelineQueries {
       // the hub-degree-2000 fixture case stays covered by OperatorsSpec.
       val c = graft.sources.Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("k"))
-      val edges = c.where(col("k") % 50 =!= 49)
-        .select(col("k").as("src"), (col("k") + 1).as("dst"))
-      ConnectedComponents.run(s, edges)
+      ConnectedComponents.run(s, chainEdges(c))
         .select(col("node"), col("comp"))
         .orderBy("node")
     }),
@@ -81,16 +100,7 @@ object PipelineQueries {
       // even past the max customer key.
       val c = graft.sources.Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("k"))
-      val chains = c.where(col("k") % 50 =!= 49)
-        .select(col("k").as("src"), (col("k") + 1).as("dst"))
-      val b1 = c.where(col("k") % 250 === 0)
-        .select(col("k").as("src"), (col("k") + 50).as("dst"))
-      val b2 = c.where(col("k") % 250 === 10)
-        .select(col("k").as("src"), (col("k") + 110).as("dst"))
-      val b3 = c.where(col("k") % 250 === 75)
-        .select(col("k").as("src"), (col("k") + 50).as("dst"))
-      val edges = chains.unionByName(b1).unionByName(b2).unionByName(b3)
-      ConnectedComponents.run(s, edges)
+      ConnectedComponents.run(s, bridgedChainEdges(c))
         .select(col("node"), col("comp"))
         .orderBy("node")
     }),

@@ -54,12 +54,14 @@ object Round3Queries {
         // this test surface at a high-cardinality events table — the
         // memory sink is driver-side by definition, so past this scale
         // the production path is a real sink, not this query.
-        val nUsers = agg.count()
-        require(nUsers <= MaxSessionUsers,
+        // ONE job bounds and materializes: pull at most cap+1 rows and
+        // fail on overflow (the separate count() ran the whole aggregate
+        // twice per invocation)
+        val rows = agg.limit(MaxSessionUsers.toInt + 1).collect()
+        require(rows.length <= MaxSessionUsers,
           s"q87's memory-sink surface collects one row per user; " +
-            s"$nUsers users exceeds the $MaxSessionUsers cap — use a " +
+            s"more than $MaxSessionUsers users — use a " +
             "durable sink for high-cardinality event tables")
-        val rows = agg.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       } finally {
         // drop on the failure path too, not just on success

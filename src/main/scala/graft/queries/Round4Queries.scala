@@ -164,7 +164,9 @@ object Round4Queries {
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$em', '[EMAIL]', 'g'), '$ph'))
+         |    AS INT) AS n_phones,
          |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
          |    '$ph', '[PHONE]', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin

@@ -60,7 +60,11 @@ object XxHash64Sql {
     * internal state columns (nm, n, t, h). */
   def hashCte(table: String, col: String,
       carry: Seq[String]): (String, String) = {
-    require(carry.forall(c => !Seq("nm", "n", "t", "h").contains(c)),
+    // k and hx are stage-scratch columns: they are not in the carry-through
+    // list, so a carry with either name would be silently OVERWRITTEN by
+    // hash state rather than rejected — guard all six internal names
+    require(carry.forall(c =>
+        !Seq("nm", "n", "t", "h", "k", "hx").contains(c)),
       s"carry columns collide with hash-state names: $carry")
     val stages = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -121,7 +121,10 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, "mail a.b-c@ex-1.org and d@e.io now"),
       (2L, "call 555-0123 or 555-123-4567 ok"),
       (3L, "clean text 12-34 no@tld x@y"), // near-misses must NOT match
-      (4L, "both bob@x.co 555-9999")
+      (4L, "both bob@x.co 555-9999"),
+      // phone-shaped local part: ONE email, zero phones — counts must
+      // equal the placeholder tokens actually emitted
+      (5L, "reach 555-123-4567@mail.com now")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.piiRedact(docs, "text")
       .select("doc_id", "n_emails", "n_phones", "redacted")
@@ -131,7 +134,8 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 2, 0, "mail [EMAIL] and [EMAIL] now"),
       (2L, 0, 2, "call [PHONE] or [PHONE] ok"),
       (3L, 0, 0, "clean text 12-34 no@tld x@y"),
-      (4L, 1, 1, "both [EMAIL] [PHONE]")))
+      (4L, 1, 1, "both [EMAIL] [PHONE]"),
+      (5L, 1, 0, "reach [EMAIL] now")))
   }
 
   test("chunkTokens: exact windows, overlap, short-doc and tail cases") {
