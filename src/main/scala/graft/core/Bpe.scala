@@ -1,0 +1,77 @@
+package graft.core
+
+/** Byte-pair-encoding vocabulary training — the pure-Scala core shared by
+  * the Spark operator (operators/BpeSpark) and the in-process reference
+  * (`train`), so the two agree symbol-for-symbol by construction (the
+  * HtmlText pattern: one implementation of the tricky semantics, called
+  * from both sides).
+  *
+  * Semantics (classic BPE over a word-frequency table):
+  *   - a word contributes its SYMBOL sequence (initially one symbol per
+  *     character) weighted by its corpus frequency;
+  *   - each round counts adjacent symbol pairs (overlapping occurrences
+  *     count individually: "aaa" has two (a,a) pairs) and merges the most
+  *     frequent pair everywhere, greedily left-to-right within each word;
+  *   - ties break deterministically: count desc, then (a, b) ascending.
+  */
+object Bpe {
+
+  /** One symbol per character. */
+  def symbolize(word: String): Vector[String] =
+    word.map(_.toString).toVector
+
+  /** Adjacent symbol pairs, overlapping occurrences included. */
+  def pairsOf(syms: Vector[String]): Iterator[(String, String)] =
+    if (syms.length < 2) Iterator.empty
+    else syms.iterator.zip(syms.iterator.drop(1))
+
+  /** Replace every (a, b) adjacency with the fused symbol a+b, greedily
+    * left-to-right: in "a a a" merging (a,a) fuses positions 0-1, then
+    * continues AFTER the fused token → ["aa", "a"]. */
+  def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Frequency-weighted pair counts over a symbolized vocabulary. */
+  def pairCounts(vocab: Iterable[(Vector[String], Long)])
+      : Map[(String, String), Long] = {
+    val m = scala.collection.mutable.Map.empty[(String, String), Long]
+    vocab.foreach { case (syms, c) =>
+      pairsOf(syms).foreach(p => m.update(p, m.getOrElse(p, 0L) + c))
+    }
+    m.toMap
+  }
+
+  /** The deterministic argmax: count desc, then (a, b) ascending. */
+  def bestPair(counts: Map[(String, String), Long])
+      : Option[((String, String), Long)] =
+    if (counts.isEmpty) None
+    else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
+
+  /** Reference trainer: returns the merge table (a, b, count-at-merge)
+    * in merge order. Stops early if no pair remains. */
+  def train(wordCounts: Map[String, Long],
+      nMerges: Int): Vector[(String, String, Long)] = {
+    var vocab = wordCounts.toVector.map { case (w, c) => (symbolize(w), c) }
+    val merges = Vector.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      bestPair(pairCounts(vocab)) match {
+        case None => done = true
+        case Some(((a, b), c)) =>
+          merges += ((a, b, c))
+          vocab = vocab.map { case (s, n) => (mergeOnce(s, a, b), n) }
+          k += 1
+      }
+    }
+    merges.result()
+  }
+}

@@ -75,7 +75,21 @@ object Round4Queries {
     "q96_chunk_tokens" -> ((s, d) =>
       CorpusOps.chunkTokens(documents(s, d), "text", "doc_id",
           chunkSize = 32, stride = 16)
-        .orderBy("doc_id", "chunk_idx")))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // BPE round 1: frequency-weighted char-pair counts (SQL-expressible)
+    "q97_bpe_pairs" -> ((s, d) =>
+      graft.operators.BpeSpark.initialPairCounts(documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(20)),
+
+    // full distributed BPE training (driver fixpoint, one-row collects);
+    // SQL-inexpressible (each merge re-tokenizes) → rows-only check +
+    // the exact BpeSpec equality against the pure-Scala reference
+    "q98_bpe_merges" -> ((s, d) =>
+      graft.operators.BpeSpark.mergeTable(s, documents(s, d), "text",
+          nMerges = 10)
+        .orderBy("rank")))
 
   val oracles: Map[String, String] = Map(
     "q89_sample_hash" -> {
@@ -182,5 +196,17 @@ object Round4Queries {
         |SELECT doc_id, CAST(st // 16 AS INT) AS chunk_idx,
         |  CAST(len(w[st + 1 : st + 32]) AS INT) AS n_tokens,
         |  array_to_string(w[st + 1 : st + 32], ' ') AS chunk
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // range(1, strlen) is empty for single-char words, mirroring the
+    // guarded sequence on the Spark side; ASCII corpus (pinned) makes
+    // 1-char slices == chars
+    "q97_bpe_pairs" ->
+      """WITH wc AS (SELECT word, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) GROUP BY word),
+        |p AS (SELECT c, unnest([{'a': word[i:i], 'b': word[i+1:i+1]}
+        |    FOR i IN range(1, strlen(word))]) AS p FROM wc)
+        |SELECT p.a AS a, p.b AS b, SUM(c) AS cnt FROM p
+        |GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin)
 }
