@@ -16,9 +16,22 @@ package graft.core
   */
 object Bpe {
 
-  /** One symbol per character. */
-  def symbolize(word: String): Vector[String] =
-    word.map(_.toString).toVector
+  /** One symbol per CODE POINT — not per UTF-16 char. Splitting a
+    * supplementary-plane character (emoji) into its two surrogates
+    * produces lone-surrogate strings, which are not valid UTF-8; the
+    * moment such a symbol crosses into Spark it is mangled to '?' by the
+    * UTF8String conversion and the distributed trainer diverges from the
+    * reference (caught by the non-BMP end-to-end spec). */
+  def symbolize(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
 
   /** Adjacent symbol pairs, overlapping occurrences included. */
   def pairsOf(syms: Vector[String]): Iterator[(String, String)] =
@@ -49,11 +62,35 @@ object Bpe {
     m.toMap
   }
 
-  /** The deterministic argmax: count desc, then (a, b) ascending. */
+  /** UTF-8 binary string ordering — matches Spark's UTF8String
+    * comparison, so the reference trainer and the distributed trainer's
+    * `orderBy` break ties IDENTICALLY even on non-BMP symbols (Java's
+    * UTF-16 compareTo orders supplementary-plane characters below
+    * U+E000..U+FFFF; UTF-8 byte order puts them above). */
+  val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** The deterministic argmax: count desc, then (a, b) ascending in
+    * UTF-8 byte order. */
   def bestPair(counts: Map[(String, String), Long])
-      : Option[((String, String), Long)] =
+      : Option[((String, String), Long)] = {
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Utf8Ordering, Utf8Ordering)
     if (counts.isEmpty) None
     else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
+  }
 
   /** Reference trainer: returns the merge table (a, b, count-at-merge)
     * in merge order. Stops early if no pair remains. */

@@ -38,13 +38,24 @@ object Conll {
       if (url != null) docs += ((url, sents.result()))
       sents = Vector.newBuilder
     }
-    text.split('\n').foreach { line =>
+    text.split('\n').zipWithIndex.foreach { case (line, ln) =>
       if (line.startsWith("-DOCSTART-")) {
         flushDoc()
-        url = line.substring(line.indexOf('(') + 1, line.lastIndexOf(')'))
+        // tolerate the bare CoNLL-2003 header form (no "(url)") — those
+        // docs carry a null url and are dropped by flushDoc, matching
+        // the "docs are keyed by url" contract instead of crashing
+        val open = line.indexOf('(')
+        val close = line.lastIndexOf(')')
+        url = if (open >= 0 && close > open)
+          line.substring(open + 1, close) else null
       } else if (line.isEmpty) flushSent()
       else {
         val tab = line.indexOf('\t')
+        // fail with a POSITIONED message, not StringIndexOutOfBounds —
+        // a whitespace-only or space-separated row is a malformed file,
+        // and the parser must say which line
+        require(tab >= 0,
+          s"CoNLL line ${ln + 1} has no tab separator: '$line'")
         toks += line.substring(0, tab)
         tags += line.substring(tab + 1)
       }

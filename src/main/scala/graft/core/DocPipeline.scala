@@ -48,7 +48,34 @@ final class DocProcessor(gaz: NerModel.Gazetteer,
 
   private val scratch = new NerModel.Scratch
 
-  def process(html: Array[Byte]): DocResult = {
+  /** The sentence/tag prefix of `process` — html → sentences → BIO tags,
+    * STOPPING before span extraction, linking, and SPO. The sentences
+    * stage only keeps tokens/tags, and paying the candidate-scan +
+    * context-overlap + pattern-extraction cost per page just to discard
+    * the result is pure waste in the throughput-bound hot path. */
+  def processSentences(html: Array[Byte]): Vector[DocSentence] = {
+    val sents = HtmlText.extractSentences(html)
+    val sentences = Vector.newBuilder[DocSentence]
+    var si = 0
+    while (si < sents.length) {
+      val toks = Tokenizer.tokenize(sents(si))
+      val words: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          Array.tabulate(toks.length)(toks(_).text))
+      val tagArr = NerModel.tagArray(words, gaz, scratch)
+      val tags: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(tagArr)
+      sentences += DocSentence(si, words, tags)
+      si += 1
+    }
+    sentences.result()
+  }
+
+  def process(html: Array[Byte]): DocResult = process(html, emitTriples = true)
+
+  /** @param emitTriples false skips SPO pattern extraction — for the
+    *   mentions stage, which discards triples anyway */
+  def process(html: Array[Byte], emitTriples: Boolean): DocResult = {
     // fused: sentences straight from the tag-stripping state machine —
     // equals Tokenizer.sentences(HtmlText.extract(html)), property-tested
     val sents = HtmlText.extractSentences(html)
@@ -70,14 +97,18 @@ final class DocProcessor(gaz: NerModel.Gazetteer,
       // prior + windowed context overlap, top-1 by (score desc, id asc)
       val linked = spans.zipWithIndex.map { case (sp, mi) =>
         val cands = aliasMap.getOrElse(sp.surface, Vector.empty)
+        // ANY candidate beats none (the staged max_by path links
+        // unconditionally, and "top-1 by (score desc, id asc)" must hold
+        // even when the best total score is 0.0 — seeding bestScore with
+        // 0.0 and strict > silently dropped zero-prior candidates)
         var bestId = -1L
-        var bestScore = 0.0
+        var bestScore = Double.NegativeInfinity
         var ci = 0
         while (ci < cands.length) {
           val (id, prior) = cands(ci)
           val s = Linking.overlapScore(prior, profile(id), words,
             sp.beginTok, sp.endTok)
-          if (s > bestScore || (s == bestScore && bestId >= 0 && id < bestId)) {
+          if (bestId < 0 || s > bestScore || (s == bestScore && id < bestId)) {
             bestScore = s; bestId = id
           }
           ci += 1
@@ -86,7 +117,7 @@ final class DocProcessor(gaz: NerModel.Gazetteer,
           bestId, if (bestId >= 0) bestScore else 0.0)
       }
       linked.foreach(mentions += _)
-      SpoPatterns.extract(toks, spans).foreach { c =>
+      if (emitTriples) SpoPatterns.extract(toks, spans).foreach { c =>
         val s = linked(c.subjIdx)
         val o = linked(c.objIdx)
         if (s.entityId >= 0 && o.entityId >= 0)

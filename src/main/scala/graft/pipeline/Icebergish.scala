@@ -112,6 +112,25 @@ object Icebergish {
     val nPages = todo.select("bucket").count()
     t = mark("resume-count", t)
     if (nPages == 0) return 0L
+    // The OUTPUT modulus must match the pages table's ingestion-time
+    // bucketing: triples inherit their page's bucket by recomputing
+    // pmod(xxhash64(url), numBuckets), so a numBuckets that differs from
+    // ingestion silently breaks colocation AND excludes partitions from
+    // the per-bucket manifest stats. A bounded sample (limit stops the
+    // scan after the first partitions) catches any wrong modulus with
+    // near-certainty — a full-table check would tax every timed run.
+    locally {
+      val sample = todo.select(col("url"),
+          col("bucket"), pmod(xxhash64(col("url")), lit(numBuckets))
+            .cast("int").as("recomputed"))
+        .limit(2048).collect()
+      val bad = sample.find(r => r.getInt(1) != r.getInt(2))
+      require(bad.isEmpty,
+        s"pages bucketing mismatch: url=${bad.get.getString(0)} has " +
+          s"bucket=${bad.get.getInt(1)} but pmod(xxhash64(url), " +
+          s"$numBuckets)=${bad.get.getInt(2)} — pass the ingestion-time " +
+          "bucket count to runResumable")
+    }
 
     // triples inherit their page's bucket: same hash, same modulus — so
     // the manifest's resume unit (input bucket) and the output partition
@@ -145,7 +164,12 @@ object Icebergish {
     // isin filter partition-prunes the stats read to the new dirs
     val todoBucketList = todo.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val perBucket = spark.read.parquet(s"$outDir/triples")
+    // explicit schema: a first run whose EVERY bucket produced zero
+    // triples leaves no parquet footers to infer from, and an inference
+    // crash here would land before appendManifest — a permanent
+    // reprocess-and-crash loop instead of rows=0 manifest entries
+    val perBucket = spark.read.schema(out.schema)
+      .parquet(s"$outDir/triples")
       .where(col("bucket").isin(todoBucketList: _*))
       .groupBy("bucket").agg(
         max(col("warc_ts")).as("watermark"),

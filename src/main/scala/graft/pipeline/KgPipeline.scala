@@ -94,13 +94,21 @@ object KgPipeline {
       aliases: DataFrame, hugeEntities: Boolean = false)
       : (DataFrame, ConnectedComponents.CcHandle) = {
     val cc = ConnectedComponents.runManaged(spark, sameAsEdges(aliases))
-    val reps = entities.select(col("entity_id").as("comp"),
-      col("canonical").as("comp_canonical"))
-    val repsSide = if (hugeEntities) reps.hint("merge") else broadcast(reps)
-    val out = entities.join(cc.labels.withColumnRenamed("node", "entity_id"),
+    val labeled = entities
+      .join(cc.labels.withColumnRenamed("node", "entity_id"),
         Seq("entity_id"), "left_outer")
       .withColumn("comp", coalesce(col("comp"), col("entity_id")))
-      .as("e")
+    // The representative is the min entity id that EXISTS in the entity
+    // table per component — the raw CC min label can be a dangling alias
+    // entity_id (FK-dirty alias tables are supported), and looking THAT
+    // up directly would silently drop the whole component from the map.
+    // repIds is an entity-granularity aggregate (dimension-sized).
+    val repIds = labeled.groupBy("comp").agg(min("entity_id").as("rep_id"))
+    val reps = repIds.join(entities.select(col("entity_id").as("rep_id"),
+        col("canonical").as("comp_canonical")), Seq("rep_id"))
+      .select(col("comp"), col("comp_canonical"))
+    val repsSide = if (hugeEntities) reps.hint("merge") else broadcast(reps)
+    val out = labeled
       .join(repsSide, Seq("comp"))
       .select(col("entity_id"), col("comp"), col("comp_canonical"))
     (out, cc)
@@ -127,8 +135,10 @@ object KgPipeline {
       val m = bc.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
-        proc.process(p.html)
-          .sentences.map(s => SentenceRow(p.url, s.sentIdx, s.tokens, s.tags))
+        // sentence/tag prefix only — this stage discards mentions and
+        // triples, so it must not pay the linking + SPO cost per page
+        proc.processSentences(p.html)
+          .map(s => SentenceRow(p.url, s.sentIdx, s.tokens, s.tags))
       }
     }
   }
@@ -139,7 +149,7 @@ object KgPipeline {
       val m = bc.value
       val proc = new DocProcessor(m.gaz, m.aliasMap, FixtureGen.profileWords)
       it.flatMap { p =>
-        proc.process(p.html)
+        proc.process(p.html, emitTriples = false)
           .mentions.map(x => MentionRow(p.url, x.sentIdx, x.mentionIdx,
             x.beginTok, x.endTok, x.cls, x.surface, x.entityId, x.score))
       }
@@ -315,9 +325,15 @@ object KgPipeline {
     * top-1 per mention via groupBy(max_by) (partial-aggregated map-side,
     * cheaper than a window at scale). Used by tests to cross-check the
     * fused path's links; at 100 TB the fused path wins because the
-    * mention-granularity shuffle disappears entirely. */
+    * mention-granularity shuffle disappears entirely.
+    *
+    * FIXTURE-SCOPED: the NER gazetteer and the entity profiles come from
+    * fixtureModel()/FixtureGen (the de-facto reference this repo verifies
+    * against — SURVEY §0), which is why there is no entities parameter:
+    * an earlier signature accepted one and silently ignored it. Only the
+    * alias table varies. */
   def stagedLinks(spark: SparkSession, pages: Dataset[Page],
-      entities: DataFrame, aliases: DataFrame): DataFrame = {
+      aliases: DataFrame): DataFrame = {
     import spark.implicits._
     val model = fixtureModel()
     val bc = spark.sparkContext.broadcast(Model(model.gaz, Map.empty))

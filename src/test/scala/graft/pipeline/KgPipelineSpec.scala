@@ -95,13 +95,13 @@ class KgPipelineSpec extends SparkTestBase {
       .where(col("entity_id") >= 0)
       .select("url", "sentIdx", "mentionIdx", "entity_id")
     val staged = KgPipeline.stagedLinks(spark, pages,
-      FixtureSpark.entities(spark), FixtureSpark.aliases(spark))
+      FixtureSpark.aliases(spark))
     assert(fused.except(staged).isEmpty && staged.except(fused).isEmpty)
   }
 
   test("staged variant plans a BroadcastHashJoin") {
     val staged = KgPipeline.stagedLinks(spark, pages,
-      FixtureSpark.entities(spark), FixtureSpark.aliases(spark))
+      FixtureSpark.aliases(spark))
     val physical = staged.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
   }
