@@ -49,27 +49,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // strict null propagation, matching cosineHof exactly: zip_with over
+    // unequal lengths pads with null and a null element nulls the whole
+    // aggregate — reading such elements as 0.0 here would make the two
+    // "bit-equal" implementations diverge precisely on dirty inputs
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
       i += 1
-    }
-    // tails of unequal-length inputs still count toward their own norm
-    var j = n
-    while (j < x.numElements()) {
-      val v = x.getFloat(j).toDouble; na += v * v; j += 1
-    }
-    j = n
-    while (j < y.numElements()) {
-      val v = y.getFloat(j).toDouble; nb += v * v; j += 1
     }
     // zero-norm / empty input → null, never NaN: Spark orders NaN above
     // all doubles, so a NaN here would rank a zero vector FIRST in every
@@ -88,25 +85,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |for (int $i = $n; $i < $x.numElements(); $i++) {
-         |  double $v = (double) $x.getFloat($i); $na += $v * $v;
-         |}
-         |for (int $i = $n; $i < $y.numElements(); $i++) {
-         |  double $v = (double) $y.getFloat($i); $nb += $v * $v;
-         |}
-         |if ($na * $nb == 0.0) {
+         |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na * $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
+         |  }
          |}
        """.stripMargin
     })

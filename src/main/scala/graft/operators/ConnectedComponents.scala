@@ -115,6 +115,10 @@ object ConnectedComponents {
     var iter = 0
     var changed = 1L
     var prevName = "round_0"
+    // the current round's intra-round caches, visible to the finally so a
+    // mid-round failure (e.g. the checkpoint write throwing) frees them
+    // too — not just the edge cache
+    var roundCaches: Seq[DataFrame] = Nil
     try {
     while (changed > 0 && iter < maxIter) {
       // 1. neighbor-min: comp of v flows to u (map-side combine on groupBy)
@@ -132,6 +136,7 @@ object ConnectedComponents {
         .select(col("node"), col("comp").as("oldComp"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches = Seq(step1)
       // 1b. root update (the hash-to-min trick): members report their new
       // min UP to the label they were pointing at, so the jump table the
       // steps below read is the previous labels IMPROVED by this round's
@@ -155,6 +160,7 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("memberMin"), col("comp")))
             .as("best"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches = Seq(step1, jt)
       // 2. pointer jump through the improved table: comp2(u) = jt(comp1(u))
       val jump = jt.select(col("node").as("comp1"), col("best").as("jumped"))
       val step2 = step1.join(jump, Seq("comp1"), "left_outer")
@@ -196,14 +202,27 @@ object ConnectedComponents {
       // the intra-round caches before the next round allocates its own
       step1.unpersist(blocking = false)
       jt.unpersist(blocking = false)
+      roundCaches = Nil
       labels = round.select("node", "comp")
       deleteRecursively(new java.io.File(runDir, prevName))
       prevName = name
     }
     } finally {
-      // release the cached edge set even when a round throws — a failed
+      // release everything cached even when a round throws — a failed
       // fixpoint must not pin MEMORY_AND_DISK blocks for the session
+      // (the edge set AND any current-round intermediates)
+      roundCaches.foreach(_.unpersist(blocking = false))
       e.unpersist(blocking = false)
+    }
+    // a fixpoint that exits on maxIter has MULTIPLE labels inside some
+    // component — silently returning them would poison every downstream
+    // join/canonicalization; free the run dir and fail loudly instead
+    if (changed != 0) {
+      pendingDirs.remove(runDir)
+      deleteRecursively(runDir)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     }
     new CcHandle(labels, runDir, iter)
   }

@@ -119,6 +119,11 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    // integer division would silently drop the trailing signature rows
+    // from banding (numHashes=64, bands=24 → rows 49–64 never produce
+    // candidates), quietly reducing recall
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val sigs = minhashSignatures(docs, textCol, idCol, k, numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     val est = cands

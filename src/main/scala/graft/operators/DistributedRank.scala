@@ -82,6 +82,8 @@ object DistributedRank {
     * floor(n/k) — inverted here from the global row number. */
   def ntileBuckets(df: DataFrame, bucket: Column, order: Seq[Column],
       k: Int, ntileCol: String): DataFrame = {
+    // k = 0 would NULL every row via % 0 (non-ANSI) instead of erroring
+    require(k > 0, s"ntile bucket count must be positive, got $k")
     Seq("__small", "__rem", "__big", ntileCol).foreach { c =>
       require(!df.columns.contains(c),
         s"input already has a column named '$c'")

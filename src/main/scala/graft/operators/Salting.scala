@@ -20,6 +20,12 @@ object Salting {
     *                  rows of one key across salt buckets */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       smallKey: String, spreadCol: String, factor: Int): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    // withColumn would silently OVERWRITE a caller's __salt and then drop
+    // it from the output — fail fast like the repo's other internal-name
+    // guards (DistributedRank)
+    Seq(big, small).foreach(df => require(!df.columns.contains("__salt"),
+      "input already has a column named '__salt'"))
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(spreadCol)), lit(factor)).cast("int"))
     val replicated = small

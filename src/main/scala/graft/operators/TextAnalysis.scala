@@ -76,9 +76,14 @@ object TextAnalysis {
     val allStops = array(Stopwords.values.flatten.toSeq.distinct
       .sorted.map(lit): _*)
     val stopCount = size(array_intersect(w, allStops)).cast("double")
+    // sum the TOKEN lengths directly — the closed form
+    // (nChars - (nWords-1)) / nWords assumes exactly one single-space
+    // separator per boundary and counts tabs/extra spaces as word length
+    // on anything else
+    val sumWordLen = aggregate(w, lit(0), (acc, x) => acc + length(x))
+      .cast("double")
     df.withColumn("n_words", size(w))
-      .withColumn("mean_word_len",
-        (nChars - (nWords - lit(1.0))) / nWords)
+      .withColumn("mean_word_len", sumWordLen / nWords)
       .withColumn("stopword_ratio", stopCount / nWords)
       .withColumn("alpha_ratio", alphaChars / nChars)
   }

@@ -26,8 +26,11 @@ object EmbeddingQueries {
         .orderBy("query_id", "rk")),
 
     "q51_label_centroid_sim" -> ((s, d) =>
-      // mean-vector per label then cosine of each vector to its label mean:
-      // aggregate + higher-order functions, fully codegen'd
+      // per-label count + exact sum of squared norms via the aggregate()
+      // higher-order function, fully codegen'd. NOTE the name oversells
+      // it: no centroid/cosine is computed here (kept for driver-history
+      // continuity) — the cosine surface lives in q50/q52/q53 and the
+      // native CosineSimilarity Expression
       embeddings(s, d)
         .groupBy("label")
         .agg(count(lit(1)).as("n"),

@@ -54,8 +54,7 @@ object EventQueries {
         .withColumn("sess_id", sum(col("new_sess")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("user_id", "sess_id")
-        .agg(count(lit(1)).as("n_events"),
-          unix_timestamp(max(col("ts"))).as("sess_end"))
+        .agg(count(lit(1)).as("n_events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("max_session_events"))
@@ -123,8 +122,7 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM g),
         |per AS (
-        |  SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end
+        |  SELECT user_id, sess_id, COUNT(*) AS n_events
         |  FROM s GROUP BY user_id, sess_id)
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  MAX(n_events) AS max_session_events

@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Round-trip staging dir: keyed by the FULL data-root hash (digits-only
+    * keys collided for two roots sharing an sf string — one session's
+    * overwrite could race another's read), swept at JVM exit (these
+    * accumulated forever before). */
+  private val cleanupInstalled = new java.util.concurrent.atomic.AtomicBoolean
   private def tmpDir(name: String): String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft-sources/$name"
-    d
+    val root = s"${sys.props("java.io.tmpdir")}/graft-sources"
+    if (cleanupInstalled.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.core.Fs.deleteRecursively(new java.io.File(root))))
+    }
+    s"$root/$name"
   }
 
   val queries: Map[String, QFn] = Map(
@@ -28,7 +37,7 @@ object SourceQueries {
         .orderBy("user_id")),
 
     "q69_csv_roundtrip" -> ((s, d) => {
-      val out = tmpDir(s"csv-${d.replaceAll("[^0-9.]", "")}")
+      val out = tmpDir(s"csv-${java.lang.Integer.toHexString(d.hashCode)}")
       customer(s, d).write.mode("overwrite").option("header", "true")
         .csv(out)
       s.read.schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
@@ -63,7 +72,7 @@ object SourceQueries {
           round(pow(col("l_quantity"), lit(1.5)), 6).as("qty_pow"))),
 
     "q70_jsonl_roundtrip" -> ((s, d) => {
-      val out = tmpDir(s"json-${d.replaceAll("[^0-9.]", "")}")
+      val out = tmpDir(s"json-${java.lang.Integer.toHexString(d.hashCode)}")
       supplier(s, d).write.mode("overwrite").json(out)
       s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, " +
           "s_acctbal DOUBLE")

@@ -130,6 +130,8 @@ object TextQueries {
     "q42_quality_features" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS nw,
+        |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+        |    x -> length(x))) AS DOUBLE) AS sw,
         |  CAST(length(text) AS DOUBLE) AS nc,
         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
         |    AS DOUBLE) AS ac,
@@ -142,7 +144,7 @@ object TextQueries {
         |     'y','zu'])) AS DOUBLE) AS sc
         |  FROM documents)
         |SELECT doc_id, CAST(nw AS INT) AS n_words,
-        |  (nc - (nw - 1.0)) / nw AS mean_word_len,
+        |  sw / nw AS mean_word_len,
         |  sc / nw AS stopword_ratio, ac / nc AS alpha_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
 

@@ -75,6 +75,68 @@ class FunctionsSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [cosine_similarity"), plan.take(800))
   }
 
+  test("native cosine null-propagates like the HOF on dirty inputs") {
+    import spark.implicits._
+    // null element / length mismatch: zip_with pads with null and the
+    // aggregate nulls out — the native expression must agree, not fold
+    // the null as 0.0 or count the tail into its own norm (pre-fix
+    // behavior, which silently broke the documented bit-equality)
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 2.0f),
+        Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),     // null element
+      (2L, Seq[java.lang.Float](1.0f, 2.0f),
+        Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),     // length mismatch
+      (3L, Seq[java.lang.Float](1.0f, 2.0f),
+        Seq[java.lang.Float](2.0f, 4.0f))            // clean control
+    ).toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>"),
+        col("b").cast("array<float>"))
+    val both = rows.select(col("id"),
+      graft.operators.Similarity.cosine(col("a"), col("b")).as("native"),
+      graft.operators.Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    both.foreach { case (id, nNull, hNull, nv, hv) =>
+      assert(nNull == hNull && nv == hv,
+        s"row $id: native=($nNull,$nv) hof=($hNull,$hv)")
+    }
+    assert(both.count(_._2) == 2, "dirty rows must be null")
+  }
+
+  test("parameter guards fail fast instead of corrupting silently") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    // saltedJoin must reject a pre-existing __salt column
+    val withSalt = df.withColumn("__salt", lit(9))
+    assert(intercept[IllegalArgumentException] {
+      Salting.saltedJoin(withSalt, df.withColumnRenamed("k", "k2"),
+        "k", "k2", "v", 4)
+    }.getMessage.contains("__salt"))
+    // ntileBuckets k=0 would NULL every row via % 0
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.DistributedRank.ntileBuckets(
+        df, lit(0), Seq(col("k")), k = 0, "nt")
+    }.getMessage.contains("positive"))
+    // minhash bands must divide numHashes or banding drops signature rows
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashNearDups(
+        df.withColumnRenamed("v", "text"), "text", "k",
+        numHashes = 64, bands = 24)
+    }.getMessage.contains("divide"))
+  }
+
+  test("CC fixpoint fails loudly on maxIter instead of returning " +
+      "non-converged labels") {
+    import spark.implicits._
+    // a 40-chain needs several rounds; maxIter=1 cannot converge
+    val edges = (0L until 40L).map(k => (k, k + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(spark, edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(
