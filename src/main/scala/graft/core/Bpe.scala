@@ -92,6 +92,36 @@ object Bpe {
     else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
   }
 
+  /** Encode one word with a learned merge table: repeatedly apply the
+    * LOWEST-RANK merge present in the word until none applies — the
+    * classic BPE inference rule (merge priority = training order, NOT
+    * greedy left-to-right text order). O(|merges present| · |word|),
+    * words are short. */
+  def encode(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = symbolize(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestPairFound: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        ranks.get(p) match {
+          case Some(r) if r < bestRank => bestRank = r; bestPairFound = p
+          case _ => ()
+        }
+        i += 1
+      }
+      if (bestPairFound == null) continue = false
+      else {
+        syms = mergeOnce(syms, bestPairFound._1, bestPairFound._2)
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
   /** Reference trainer: returns the merge table (a, b, count-at-merge)
     * in merge order. Stops early if no pair remains. */
   def train(wordCounts: Map[String, Long],

@@ -89,6 +89,34 @@ object BpeSpark {
     } finally vocab.unpersist(blocking = false)
   }
 
+  /** Tokenize the corpus with a learned merge table: per-doc token and
+    * distinct-token counts under the trained vocabulary. The merge ranks
+    * broadcast (a merge table is nMerges rows — tiny); encoding is a
+    * narrow typed map, zero shuffle before the final per-doc aggregate.
+    * The per-word encode is cached per partition — corpus word frequency
+    * follows a Zipf law, so the hit rate is high and the cache is
+    * bounded per task. */
+  def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Vector[(Int, String, String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map { case (rank, a, b, _) => (a, b) -> rank }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        val cache = scala.collection.mutable.Map.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          val toks = text.split(' ').iterator
+            .flatMap(w => cache.getOrElseUpdate(w, Bpe.encode(w, r)))
+            .toVector
+          (id, toks.length, toks.distinct.length)
+        }
+      }.toDF(idCol, "n_tokens", "n_distinct_tokens")
+  }
+
   /** The merge table as a DataFrame (driver query surface, q98). */
   def mergeTable(spark: SparkSession, docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {

@@ -89,7 +89,18 @@ object Round4Queries {
     "q98_bpe_merges" -> ((s, d) =>
       graft.operators.BpeSpark.mergeTable(s, documents(s, d), "text",
           nMerges = 10)
-        .orderBy("rank")))
+        .orderBy("rank")),
+
+    // train-then-ENCODE: per-doc token counts under the learned
+    // vocabulary (the inference half of the tokenizer; rows-only +
+    // exact encode spec vs the pure reference, same pattern as q98)
+    "q99_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.operators.BpeSpark.trainMerges(docs, "text", 10)
+      graft.operators.BpeSpark
+        .encodeTokenCounts(docs, "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q89_sample_hash" -> {

@@ -69,6 +69,37 @@ class BpeSpec extends SparkTestBase {
     assert(got == ref)
   }
 
+  test("encode applies merges by RANK priority, not text order") {
+    // ranks: (a,b)=0 learned first, (ab,c)=1 — "cab": no leading match,
+    // then (a,b) fires mid-word, then (ab,c)? c is BEFORE ab, so no.
+    val ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("c", "ab") -> 2)
+    assert(Bpe.encode("abc", ranks) == Vector("abc"))   // ab, then ab+c
+    assert(Bpe.encode("cab", ranks) == Vector("cab"))   // ab, then c+ab
+    assert(Bpe.encode("bca", ranks) == Vector("b", "c", "a")) // nothing
+    // rank priority beats leftmost position: with (b,c) ranked above
+    // (a,b), "abc" must merge b+c FIRST even though a+b is leftmost
+    val r2 = Map(("b", "c") -> 0, ("a", "b") -> 1)
+    assert(Bpe.encode("abc", r2) == Vector("a", "bc"))
+  }
+
+  test("Spark encodeTokenCounts == pure encode on the documents corpus") {
+    import spark.implicits._
+    val merges = BpeSpark.trainMerges(docs, "text", 10)
+    val ranks = merges.map { case (rk, a, b, _) => (a, b) -> rk }.toMap
+    val got = BpeSpark.encodeTokenCounts(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    val want = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, text) =>
+        val toks = text.split(' ').toVector.flatMap(Bpe.encode(_, ranks))
+        id -> ((toks.length, toks.distinct.length))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, d)) =>
+      assert((n, d) == want(id), s"doc $id: got ($n,$d), want ${want(id)}")
+    }
+  }
+
   test("training stops early when no pair remains") {
     import spark.implicits._
     val tiny = Seq("ab ab").toDF("text")
