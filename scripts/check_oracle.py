@@ -6,8 +6,13 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 Loads every table in sfDir into DuckDB, runs each oracle_sql.json entry,
 and compares against the Spark parquet result in <verifyOutDir>/<name>:
 columns sorted by name, rows sorted, values compared exactly (floats via
-repr). This script is local tooling only — the shipped Scala library does
-not depend on it.
+repr) — AND column types compared strictly (DuckDB's type name on both
+sides, since the Spark parquet is read back through DuckDB too). The type
+check matches the driver's type-sensitive hash: a DuckDB DECIMAL128 SUM vs
+a Spark BIGINT is value-equal under repr but red at the driver (the
+round-4 q97 bug class), so any type mismatch is now BAD here as well.
+This script is local tooling only — the shipped Scala library does not
+depend on it.
 """
 import json
 import sys
@@ -42,23 +47,37 @@ def main(sf_dir, out_dir, only=None):
             print(f"MISS {name}: no spark output")
             n_err += 1
             continue
+        spark_sql = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
         try:
-            duck = con.execute(sql)
-            d_cols = [c[0] for c in duck.description]
-            d_rows = duck.fetchall()
-            sq = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            s_cols = [c[0] for c in sq.description]
-            s_rows = sq.fetchall()
+            # Arrow schemas carry the real types (the DB-API description
+            # collapses BIGINT/DECIMAL128 both to NUMBER); the driver's
+            # type-sensitive hash operates at this level.
+            d_schema = con.execute(sql).arrow().schema
+            d_cols = list(d_schema.names)
+            d_types = [str(d_schema.field(c).type) for c in d_cols]
+            d_rows = con.execute(sql).fetchall()
+            s_schema = con.execute(spark_sql).arrow().schema
+            s_cols = list(s_schema.names)
+            s_types = [str(s_schema.field(c).type) for c in s_cols]
+            s_rows = con.execute(spark_sql).fetchall()
         except Exception as e:
             print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
             n_err += 1
             continue
         dc, dcols = canon(d_rows, d_cols)
         sc, scols = canon(s_rows, s_cols)
+        d_tmap = dict(zip(d_cols, d_types))
+        s_tmap = dict(zip(s_cols, s_types))
+        type_bad = [(c, s_tmap[c], d_tmap[c]) for c in dcols
+                    if c in s_tmap and s_tmap[c] != d_tmap[c]]
         if dcols != scols:
             print(f"BAD  {name}: columns spark={scols} duck={dcols}")
             n_bad += 1
+        elif type_bad:
+            n_bad += 1
+            print(f"BAD  {name}: type mismatch "
+                  + "; ".join(f"{c}: spark={s} duck={d}"
+                              for c, s, d in type_bad))
         elif dc != sc:
             n_bad += 1
             diff = [(a, b) for a, b in zip(sc, dc) if a != b]

@@ -136,8 +136,8 @@ object EventQueries {
 
     "q35_ntile_buckets" ->
       s"""SELECT bucket, COUNT(*) AS n, ${Q.dsumSql("value")} AS total
-         |FROM (SELECT *, NTILE(4) OVER (ORDER BY value ASC, event_id ASC)
-         |  AS bucket FROM events)
+         |FROM (SELECT *, CAST(NTILE(4) OVER (ORDER BY value ASC, event_id ASC)
+         |  AS INT) AS bucket FROM events)
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q36_watermark_filter" ->

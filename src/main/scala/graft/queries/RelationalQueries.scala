@@ -346,8 +346,8 @@ object RelationalQueries {
 
     "q13_group_topk" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk FROM orders)
         |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
 
     "q14_union_all" ->
@@ -379,14 +379,14 @@ object RelationalQueries {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q19_string_funcs" ->
-      """SELECT c_custkey, lower(c_name) AS lname, length(c_name) AS name_len,
+      """SELECT c_custkey, lower(c_name) AS lname, CAST(length(c_name) AS INT) AS name_len,
         |substring(c_name, 1, 8) AS prefix,
         |regexp_extract(c_name, '([0-9]+)', 1) AS digits,
         |concat_ws('|', c_mktsegment, c_name) AS joined
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q20_levenshtein" ->
-      """SELECT p_partkey, levenshtein(p_brand, 'Brand#33') AS dist
+      """SELECT p_partkey, CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q21_datetime" ->
