@@ -122,6 +122,83 @@ object Bpe {
     syms
   }
 
+  /** Longest PREFIX of a ranked pair list whose members are pairwise
+    * symbol-disjoint ({a1,b1} ∩ {a2,b2} = ∅). Used by the batched
+    * trainers: symbol-disjoint merges cannot create or destroy each
+    * other's occurrences (merging [a,b]→[ab] never makes two other
+    * symbols adjacent), so applying the whole prefix in one round leaves
+    * every selected pair's count exactly what the ranking saw. Taking a
+    * prefix — STOPPING at the first conflicting pair rather than skipping
+    * it — keeps the selection as close as possible to sequential greedy
+    * order (a skipped-over pair would have been the sequential trainer's
+    * very next pick). */
+  def disjointPrefix(ranked: Vector[(String, String, Long)])
+      : Vector[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = Vector.newBuilder[(String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < ranked.length && !stop) {
+      val (a, b, _) = ranked(i)
+      if (used.contains(a) || used.contains(b)) stop = true
+      else { used += a; used += b; out += ranked(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private val RankedOrd: Ordering[(Long, String, String)] =
+    Ordering.Tuple3(Ordering.Long, Utf8Ordering, Utf8Ordering)
+
+  /** Pair counts ranked by the trainer's total order: count desc, then
+    * (a, b) ascending in UTF-8 byte order — the same order Spark's
+    * `orderBy(cnt.desc, a.asc, b.asc)` produces on UTF8Strings. */
+  def rankPairs(counts: Map[(String, String), Long])
+      : Vector[(String, String, Long)] =
+    counts.toVector.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }(RankedOrd)
+
+  /** Reference BATCHED trainer (pure twin of
+    * BpeSpark.trainMergesBatched): each round ranks all pairs once,
+    * takes the top min(batchSize, remaining) and applies the
+    * symbol-disjoint prefix of that list in a single pass. Returns
+    * (merges, rounds-executed).
+    *
+    * Agreement with the exact single-merge trainer: IDENTICAL whenever,
+    * within every round, no pair CREATED by an earlier batch member
+    * (e.g. (x, ab) after merging (a,b)) would have out-ranked a later
+    * batch member under the sequential trainer — a created pair's count
+    * is bounded by its parent merge's count, so it CAN tie or beat the
+    * batch's tail. That is the documented divergence; on corpora where
+    * it cannot happen (top pairs symbol-disjoint and well-separated in
+    * count from any created pair) the two trainers are equal — see
+    * BpeSpec's batched-parity properties. batchSize = 1 degenerates to
+    * the exact trainer by construction. */
+  def trainBatched(wordCounts: Map[String, Long], nMerges: Int,
+      batchSize: Int): (Vector[(String, String, Long)], Int) = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    var vocab = wordCounts.toVector.map { case (w, c) => (symbolize(w), c) }
+    val merges = Vector.newBuilder[(String, String, Long)]
+    var k = 0
+    var rounds = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val ranked = rankPairs(pairCounts(vocab))
+        .take(math.min(batchSize, nMerges - k))
+      val batch = disjointPrefix(ranked)
+      if (batch.isEmpty) done = true
+      else {
+        merges ++= batch
+        vocab = vocab.map { case (s, n) =>
+          (batch.foldLeft(s) { case (acc, (a, b, _)) =>
+            mergeOnce(acc, a, b) }, n)
+        }
+        k += batch.length
+        rounds += 1
+      }
+    }
+    (merges.result(), rounds)
+  }
+
   /** Reference trainer: returns the merge table (a, b, count-at-merge)
     * in merge order. Stops early if no pair remains. */
   def train(wordCounts: Map[String, Long],

@@ -89,17 +89,88 @@ object BpeSpark {
     } finally vocab.unpersist(blocking = false)
   }
 
+  /** Batched distributed training: per round, ONE pair-count aggregate,
+    * one `min(batchSize, remaining)`-row TakeOrdered collect, and the
+    * symbol-disjoint PREFIX of that ranked list applied in a single
+    * narrow pass (selection rule + divergence contract documented at
+    * Bpe.trainBatched — symbol-disjoint merges cannot perturb each
+    * other's counts, so every applied merge's recorded count is exact).
+    * This is what makes tokenizer training viable at a production
+    * 30–50k merge vocabulary: the exact trainer's cost is dominated by
+    * nMerges sequential Spark jobs (~100 ms dispatch each → hours of
+    * fixed cost); batching amortizes that dispatch by up to batchSize×
+    * while vocab stays a distributed Dataset and driver traffic stays
+    * ≤ batchSize rows per round. Returns (merges-in-rank-order,
+    * rounds-executed); batchSize = 1 is exactly `trainMerges`. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int): (Vector[(Int, String, String, Long)], Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    var vocab: Dataset[(Vector[String], Long)] = wordCounts(docs, textCol)
+      .as[(String, Long)]
+      .map { case (w, c) => (Bpe.symbolize(w), c) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    try {
+      var k = 0
+      var rounds = 0
+      var done = false
+      while (k < nMerges && !done) {
+        val top = vocab.flatMap { case (syms, c) =>
+            Bpe.pairsOf(syms).map { case (a, b) => (a, b, c) }
+          }.toDF("a", "b", "c")
+          .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
+          // UTF8String binary order == Bpe.Utf8Ordering (BpeSpec parity)
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(math.min(batchSize, nMerges - k))
+          .as[(String, String, Long)]
+          .collect().toVector
+        val batch = Bpe.disjointPrefix(top)
+        if (batch.isEmpty) done = true
+        else {
+          batch.foreach { case (a, b, cnt) =>
+            merges += ((k, a, b, cnt)); k += 1
+          }
+          val prev = vocab
+          vocab = prev.map { case (s, c) =>
+            (batch.foldLeft(s) { case (acc, (a, b, _)) =>
+              Bpe.mergeOnce(acc, a, b) }, c)
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+          vocab.count() // materialize round before freeing the previous
+          prev.unpersist(blocking = false)
+          rounds += 1
+        }
+      }
+      (merges.result(), rounds)
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Default bound on the per-partition word→tokens encode cache: ~1M
+    * distinct words comfortably fits an executor core's share of memory
+    * (entries are short token vectors) while covering the Zipf head of
+    * any real corpus partition. */
+  val DefaultMaxCacheWords: Int = 1 << 20
+
   /** Tokenize the corpus with a learned merge table: per-doc token and
     * distinct-token counts under the trained vocabulary. The merge ranks
     * broadcast (a merge table is nMerges rows — tiny); encoding is a
     * narrow typed map, zero shuffle before the final per-doc aggregate.
     * The per-word encode is cached per partition — corpus word frequency
-    * follows a Zipf law, so the hit rate is high and the cache is
-    * bounded per task. */
+    * follows a Zipf law, so the hit rate is high. The cache is SIZE
+    * BOUNDED at `maxCacheWords`: a pathological partition (unique-word
+    * spam) would otherwise grow it without limit; on overflow it is
+    * cleared — the Zipf head re-warms within a few rows, and an
+    * adversarial all-unique partition degrades to cache-free encoding
+    * instead of an OOM. */
   def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
-      merges: Vector[(Int, String, String, Long)]): DataFrame = {
+      merges: Vector[(Int, String, String, Long)],
+      maxCacheWords: Int = DefaultMaxCacheWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(maxCacheWords > 0,
+      s"maxCacheWords must be positive, got $maxCacheWords")
     val ranks: Map[(String, String), Int] =
       merges.map { case (rank, a, b, _) => (a, b) -> rank }.toMap
     val bc = spark.sparkContext.broadcast(ranks)
@@ -110,7 +181,16 @@ object BpeSpark {
         val cache = scala.collection.mutable.Map.empty[String, Vector[String]]
         it.map { case (id, text) =>
           val toks = text.split(' ').iterator
-            .flatMap(w => cache.getOrElseUpdate(w, Bpe.encode(w, r)))
+            .flatMap { w =>
+              cache.get(w) match {
+                case Some(t) => t
+                case None =>
+                  val t = Bpe.encode(w, r)
+                  if (cache.size >= maxCacheWords) cache.clear()
+                  cache.update(w, t)
+                  t
+              }
+            }
             .toVector
           (id, toks.length, toks.distinct.length)
         }

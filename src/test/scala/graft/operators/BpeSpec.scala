@@ -107,4 +107,87 @@ class BpeSpec extends SparkTestBase {
     val got = BpeSpark.trainMerges(tiny, "text", nMerges = 5)
     assert(got.map { case (_, a, b, _) => (a, b) } == Vector(("a", "b")))
   }
+
+  // ---------------- batched training ----------------
+
+  test("disjointPrefix stops at the first symbol-sharing pair") {
+    val ranked = Vector(("a", "b", 9L), ("c", "d", 8L), ("b", "e", 7L),
+      ("f", "g", 6L))
+    // (b,e) shares b with (a,b) → prefix ends BEFORE it; (f,g) is
+    // disjoint but comes after the stop, so it is NOT selected (skipping
+    // would reorder vs sequential greedy)
+    assert(Bpe.disjointPrefix(ranked) ==
+      Vector(("a", "b", 9L), ("c", "d", 8L)))
+    assert(Bpe.disjointPrefix(Vector.empty) == Vector.empty)
+    // self-pair (a,a) uses one symbol; a later pair touching a conflicts
+    assert(Bpe.disjointPrefix(Vector(("a", "a", 5L), ("a", "x", 4L))) ==
+      Vector(("a", "a", 5L)))
+  }
+
+  test("pure trainBatched with batchSize=1 == exact trainer") {
+    import spark.implicits._
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (batched, rounds) = Bpe.trainBatched(wc, nMerges = 10, batchSize = 1)
+    assert(batched == Bpe.train(wc, nMerges = 10))
+    assert(rounds == batched.length)
+  }
+
+  test("batched == exact on a non-interacting corpus") {
+    // disjoint two-letter alphabets, words of length 2: every pair is
+    // symbol-disjoint from every other and no merge can CREATE a pair
+    // (merged words become single symbols) → batched must equal exact
+    val wc = Map("ab" -> 50L, "cd" -> 40L, "ef" -> 30L, "gh" -> 20L)
+    val exact = Bpe.train(wc, nMerges = 4)
+    val (batched, rounds) = Bpe.trainBatched(wc, nMerges = 4, batchSize = 4)
+    assert(batched == exact)
+    assert(rounds == 1) // all four merges landed in a single round
+  }
+
+  test("documented divergence: a created pair can out-rank the batch tail") {
+    // exact: (a,a):40 → creates (aa,a):20 which BEATS (b,c):15, so the
+    // sequential order is (a,a), (aa,a), (b,c); batched(2) commits
+    // (a,a) and (b,c) in round 1 before (aa,a) exists. Divergence is in
+    // merge ORDER only here — the contract documented at Bpe.trainBatched.
+    val wc = Map("aaa" -> 20L, "bc" -> 15L)
+    val exact = Bpe.train(wc, nMerges = 3)
+    assert(exact.map { case (a, b, _) => (a, b) } ==
+      Vector(("a", "a"), ("aa", "a"), ("b", "c")))
+    val (batched, _) = Bpe.trainBatched(wc, nMerges = 3, batchSize = 2)
+    assert(batched.map { case (a, b, _) => (a, b) } ==
+      Vector(("a", "a"), ("b", "c"), ("aa", "a")))
+  }
+
+  test("Spark trainMergesBatched == pure trainBatched on documents corpus") {
+    import spark.implicits._
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (ref, refRounds) = Bpe.trainBatched(wc, nMerges = 10, batchSize = 8)
+    val (got, gotRounds) =
+      BpeSpark.trainMergesBatched(docs, "text", nMerges = 10, batchSize = 8)
+    assert(got.map { case (_, a, b, c) => (a, b, c) } == ref)
+    assert(got.map(_._1) == got.indices.toVector) // ranks are 0..n-1
+    assert(gotRounds == refRounds)
+    // the point of batching: strictly fewer driver round-trips than
+    // merges whenever any round commits more than one pair
+    assert(gotRounds < got.length,
+      s"expected round-count reduction, got $gotRounds rounds for " +
+        s"${got.length} merges")
+  }
+
+  test("encode cache cap: adversarial all-unique words, capped == uncapped") {
+    import spark.implicits._
+    // every word distinct → zero cache hits; with maxCacheWords=2 the
+    // cache clears constantly and the output must still be identical
+    val uniq = (0 until 200)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text").repartition(3)
+    val merges = BpeSpark.trainMerges(uniq, "text", 3)
+    val want = BpeSpark.encodeTokenCounts(uniq, "text", "doc_id", merges)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val got = BpeSpark.encodeTokenCounts(uniq, "text", "doc_id", merges,
+        maxCacheWords = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
 }
