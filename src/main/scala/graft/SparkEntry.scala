@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.SourceQueries.queries ++
       graft.queries.Round2Queries.queries ++
       graft.queries.Round3Queries.queries ++
-      graft.queries.Round4Queries.queries
+      graft.queries.Round4Queries.queries ++
+      graft.queries.Round5Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.SourceQueries.oracles ++
       graft.queries.Round2Queries.oracles ++
       graft.queries.Round3Queries.oracles ++
-      graft.queries.Round4Queries.oracles
+      graft.queries.Round4Queries.oracles ++
+      graft.queries.Round5Queries.oracles
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.operators.{CorpusOps, Dedup}
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: the curation layer COMPOSED end-to-end (the
+  * LLM-pipeline analog of q86's TPC-H-Q5 shape) and batched BPE training
+  * (the production-vocab scaling path for the q98 trainer).
+  */
+object Round5Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // The whole curation layer as ONE plan: deterministic 60% train draw
+    // → per-row quality gate → benchmark decontamination → context-window
+    // chunking. Scale shape: the corpus path is sample(narrow filter) →
+    // quality(narrow filter) → anti-join against a BROADCAST id set →
+    // chunk(narrow explode) — the corpus itself never shuffles. The
+    // contaminated-id side is built in a separate pass over the corpus
+    // (scan → narrow gram explode → broadcast semi-join vs the benchmark
+    // gram set → distinct over the tiny matching-id set); two corpus
+    // SCANS total, zero corpus SHUFFLES — at 100 TB a second columnar
+    // scan of (doc_id, text) streams, a corpus shuffle does not. In the
+    // staged production pipeline the survivors would be materialized
+    // between stages (the Icebergish pattern); this entry proves the
+    // stages COMPOSE into one Catalyst plan with the same properties.
+    "q100_curation_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      // stage 1: reproducible Bernoulli-by-hash train draw (pure row fn)
+      val sampled = CorpusOps.sampleByHash(corpus, col("doc_id"), 60)
+      // stage 2: quality gate — length floor + distinct-word ratio (the
+      // narrow per-row signals; the quadratic-HOF top-bigram signal
+      // stays in its own aggregate-shaped query, q94)
+      val words = split(col("text"), " ")
+      val quality = sampled.where(size(words) >= 16 &&
+        size(array_distinct(words)).cast("double") /
+          size(words).cast("double") >= 0.45)
+      // stage 3: decontamination — ids of corpus docs sharing any word
+      // 3-gram with the benchmark slice; computed over the FULL corpus
+      // (a superset of the sampled+quality survivors, so the anti-join
+      // below yields identical rows) to keep this side independent of
+      // the survivor subplan — no common-subplan re-execution of the
+      // quality stage (the round-4 CC lesson)
+      val benchGrams = bench
+        .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+      val contaminatedIds = corpus
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
+          .as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .select("doc_id").distinct()
+      val clean = quality.join(broadcast(contaminatedIds),
+        Seq("doc_id"), "left_anti")
+      // stage 4: pack survivors into 32-token windows, stride 16
+      CorpusOps.chunkTokens(clean, "text", "doc_id",
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Batched BPE training: same learned-table schema as q98 plus the
+    // per-merge round index — at a production 30–50k vocab the exact
+    // trainer is 30–50k sequential Spark jobs; batching applies the
+    // symbol-disjoint prefix of the top-8 pairs per round (selection
+    // rule + divergence contract at Bpe.trainBatched). SQL-inexpressible
+    // → rows-only check + BpeSpec parity properties vs the pure batched
+    // reference and vs the exact trainer on non-interacting vocab.
+    "q101_bpe_merges_batched" -> ((s, d) => {
+      import s.implicits._
+      val (merges, rounds) = graft.operators.BpeSpark.trainMergesBatched(
+        documents(s, d), "text", nMerges = 10, batchSize = 8)
+      merges.map { case (rank, a, b, cnt) => (rank, a, b, cnt, rounds) }
+        .toDF("rank", "a", "b", "cnt", "rounds")
+        .orderBy("rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // sample draw replayed bit-exactly via the XxHash64Sql CTE chain
+    // (q89 technique); shingle boundary and chunk slicing mirror the
+    // q93/q96 oracles
+    "q100_curation_pipeline" -> {
+      val (cte, fin) = XxHash64Sql.hashCte("documents",
+        "CAST(doc_id AS VARCHAR)", Seq("doc_id", "text"))
+      s"""$cte,
+         |sampled AS (SELECT doc_id, text FROM $fin
+         |  WHERE doc_id % 97 <> 0
+         |    AND ${XxHash64Sql.pmodSql("h", 100)} < 60),
+         |sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sampled),
+         |quality AS (SELECT doc_id, w FROM sw
+         |  WHERE len(w) >= 16
+         |    AND len(list_distinct(w))::DOUBLE / len(w)::DOUBLE >= 0.45),
+         |benchg AS (SELECT DISTINCT unnest([
+         |    array_to_string(bw[i:i+2], ' ')
+         |    FOR i IN range(1, greatest(len(bw) - 2, 1) + 1)]) AS gram
+         |  FROM (SELECT string_split(text, ' ') AS bw FROM documents
+         |        WHERE doc_id % 97 = 0)),
+         |cont AS (SELECT DISTINCT g.doc_id FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+         |      FOR i IN range(1, greatest(len(w) - 2, 1) + 1)]) AS gram
+         |    FROM quality) g
+         |  JOIN benchg USING (gram)),
+         |clean AS (SELECT doc_id, w FROM quality
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS st
+         |       FROM clean)
+         |SELECT doc_id, CAST(st // 16 AS INT) AS chunk_idx,
+         |  CAST(len(w[st + 1 : st + 32]) AS INT) AS n_tokens,
+         |  array_to_string(w[st + 1 : st + 32], ' ') AS chunk
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+    })
+}
