@@ -123,7 +123,7 @@ object Dedup {
     // from banding (numHashes=64, bands=24 → rows 49–64 never produce
     // candidates), quietly reducing recall
     require(bands > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+      s"bands ($bands) must divide numHashes ($numHashes) evenly")
     val sigs = minhashSignatures(docs, textCol, idCol, k, numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     val est = cands

@@ -64,8 +64,13 @@ object FixtureSpark {
         val target = if (slot < hotFactor) 0 else slot - hotFactor + 1
         var j = 0
         var url = s"${p.url}?s=$j"
+        // expected ~`buckets` probes per page; the cap turns a
+        // pathological hash distribution for some url family into a loud
+        // failure instead of a hung generator
         while (sparkBucketOf(url, buckets) != target) {
           j += 1
+          require(j < 1000000,
+            s"bucket probe for ${p.url} did not hit $target in 1e6 tries")
           url = s"${p.url}?s=$j"
         }
         Page(url, new Timestamp(p.warcTsMicros / 1000L), p.html, null,

@@ -94,6 +94,13 @@ object KgPipeline {
       aliases: DataFrame, hugeEntities: Boolean = false)
       : (DataFrame, ConnectedComponents.CcHandle) = {
     val cc = ConnectedComponents.runManaged(spark, sameAsEdges(aliases))
+    // `labeled` is referenced twice below (repIds and the final join) and
+    // deliberately NOT persisted: cc.labels is backed by the fixpoint's
+    // final-round parquet, so each reference re-derives only a parquet
+    // scan + one dimension-sized join — NOT the CC fixpoint itself. A
+    // persist here would have no sound unpersist point (the returned
+    // DataFrame is lazy; consumers run after this method exits) and would
+    // pin a dimension-sized cache entry per call in a long-lived driver.
     val labeled = entities
       .join(cc.labels.withColumnRenamed("node", "entity_id"),
         Seq("entity_id"), "left_outer")

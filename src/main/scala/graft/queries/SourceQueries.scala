@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Round-trip staging dir: keyed by the FULL data-root hash (digits-only
-    * keys collided for two roots sharing an sf string — one session's
-    * overwrite could race another's read), swept at JVM exit (these
-    * accumulated forever before). */
+  /** Round-trip staging dir: keyed by a SHA-256 of the FULL data root
+    * (the earlier 32-bit String.hashCode key could still collide across
+    * two distinct roots and race one session's overwrite against
+    * another's read), swept at JVM exit (these accumulated forever
+    * before). */
+  private def rootKey(dataRoot: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dataRoot.getBytes("UTF-8"))
+    d.take(16).map(b => f"$b%02x").mkString
+  }
   private val cleanupInstalled = new java.util.concurrent.atomic.AtomicBoolean
   private def tmpDir(name: String): String = {
     val root = s"${sys.props("java.io.tmpdir")}/graft-sources"
@@ -37,7 +43,7 @@ object SourceQueries {
         .orderBy("user_id")),
 
     "q69_csv_roundtrip" -> ((s, d) => {
-      val out = tmpDir(s"csv-${java.lang.Integer.toHexString(d.hashCode)}")
+      val out = tmpDir(s"csv-${rootKey(d)}")
       customer(s, d).write.mode("overwrite").option("header", "true")
         .csv(out)
       s.read.schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
@@ -72,7 +78,7 @@ object SourceQueries {
           round(pow(col("l_quantity"), lit(1.5)), 6).as("qty_pow"))),
 
     "q70_jsonl_roundtrip" -> ((s, d) => {
-      val out = tmpDir(s"json-${java.lang.Integer.toHexString(d.hashCode)}")
+      val out = tmpDir(s"json-${rootKey(d)}")
       supplier(s, d).write.mode("overwrite").json(out)
       s.read.schema("s_suppkey LONG, s_name STRING, s_nationkey INT, " +
           "s_acctbal DOUBLE")
