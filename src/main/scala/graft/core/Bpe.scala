@@ -133,15 +133,30 @@ object Bpe {
     * order (a skipped-over pair would have been the sequential trainer's
     * very next pick). */
   def disjointPrefix(ranked: Vector[(String, String, Long)])
-      : Vector[(String, String, Long)] = {
+      : Vector[(String, String, Long)] = disjointSelect(ranked, false)
+
+  /** Greedy symbol-disjoint selection from a ranked pair list. With
+    * `skipConflicts = false` this is `disjointPrefix` (stop at the first
+    * conflict — closest to sequential greedy order). With
+    * `skipConflicts = true` a conflicting pair is SKIPPED and scanning
+    * continues — the standard parallel-BPE selection: it commits far
+    * more merges per round on natural text (where top pairs share
+    * common letters), at the cost of larger order-divergence from the
+    * sequential trainer (a skipped pair would have been its very next
+    * pick). Either way the selected set is pairwise symbol-disjoint, so
+    * every recorded count is exact (disjoint merges cannot perturb each
+    * other's occurrences). */
+  def disjointSelect(ranked: Vector[(String, String, Long)],
+      skipConflicts: Boolean): Vector[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val out = Vector.newBuilder[(String, String, Long)]
     var i = 0
     var stop = false
     while (i < ranked.length && !stop) {
       val (a, b, _) = ranked(i)
-      if (used.contains(a) || used.contains(b)) stop = true
-      else { used += a; used += b; out += ranked(i); i += 1 }
+      if (used.contains(a) || used.contains(b)) {
+        if (skipConflicts) i += 1 else stop = true
+      } else { used += a; used += b; out += ranked(i); i += 1 }
     }
     out.result()
   }
@@ -174,7 +189,8 @@ object Bpe {
     * BpeSpec's batched-parity properties. batchSize = 1 degenerates to
     * the exact trainer by construction. */
   def trainBatched(wordCounts: Map[String, Long], nMerges: Int,
-      batchSize: Int): (Vector[(String, String, Long)], Int) = {
+      batchSize: Int, skipConflicts: Boolean = false)
+      : (Vector[(String, String, Long)], Int) = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     var vocab = wordCounts.toVector.map { case (w, c) => (symbolize(w), c) }
     val merges = Vector.newBuilder[(String, String, Long)]
@@ -184,7 +200,7 @@ object Bpe {
     while (k < nMerges && !done) {
       val ranked = rankPairs(pairCounts(vocab))
         .take(math.min(batchSize, nMerges - k))
-      val batch = disjointPrefix(ranked)
+      val batch = disjointSelect(ranked, skipConflicts)
       if (batch.isEmpty) done = true
       else {
         merges ++= batch

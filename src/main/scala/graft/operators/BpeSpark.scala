@@ -47,6 +47,43 @@ object BpeSpark {
       .agg(sum(col("c")).as("cnt"))
   }
 
+  /** Per-round vocab materializer shared by both trainers. Persists and
+    * eagerly materializes the round, frees the previous round's cache,
+    * and — critically — returns a LINEAGE-CUT Dataset (a scan over the
+    * materialized round's RDD) so the query plan each round's jobs carry
+    * stays CONSTANT-SIZE. Without the cut the logical plan grows by one
+    * map stage per merge round and the per-job plan work (explain
+    * strings, analysis, codegen keys) grows quadratically with rounds —
+    * measured: driver OOM at a 60-merge run with an 8 GB heap, while
+    * 10-merge queries masked it entirely. Same lesson as the CC
+    * fixpoint's per-round parquet persistence, paid in block-manager
+    * blocks instead of files. */
+  private final class RoundVocab(spark: SparkSession) {
+    import spark.implicits._
+    private var backing: org.apache.spark.rdd.RDD[(Vector[String], Long)] = _
+    def materialize(ds: Dataset[(Vector[String], Long)])
+        : Dataset[(Vector[String], Long)] = {
+      // localCheckpoint (MEMORY_AND_DISK blocks) truncates the RDD
+      // DEPENDENCY chain too — a plain persist leaves every round's RDD
+      // referencing the previous round's, and task serialization walks
+      // that chain recursively (measured: executor StackOverflowError
+      // ~60 rounds in). Trade-off: localCheckpoint gives up recompute-
+      // on-block-loss — an executor failure mid-training fails the job
+      // and training restarts (the merge table built so far is plain
+      // driver data, so a caller can resume by replaying merges onto a
+      // fresh vocab); a production 30–50k-merge run on flaky hardware
+      // would parquet-checkpoint every ~100 rounds instead (the CC
+      // persistRound pattern).
+      val rdd = ds.rdd.localCheckpoint()
+      rdd.count() // materialize this round before freeing the previous one
+      if (backing != null) backing.unpersist(blocking = false)
+      backing = rdd
+      spark.createDataset(rdd)
+    }
+    def free(): Unit =
+      if (backing != null) backing.unpersist(blocking = false)
+  }
+
   /** Train `nMerges` merges; returns (rank, a, b, cnt) in merge order.
     * Stops early when no adjacent pair remains. */
   def trainMerges(docs: DataFrame, textCol: String,
@@ -54,10 +91,11 @@ object BpeSpark {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    var vocab: Dataset[(Vector[String], Long)] = wordCounts(docs, textCol)
-      .as[(String, Long)]
-      .map { case (w, c) => (Bpe.symbolize(w), c) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rounds = new RoundVocab(spark)
+    var vocab: Dataset[(Vector[String], Long)] = rounds.materialize(
+      wordCounts(docs, textCol)
+        .as[(String, Long)]
+        .map { case (w, c) => (Bpe.symbolize(w), c) })
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     try {
       var k = 0
@@ -77,16 +115,13 @@ object BpeSpark {
           case None => done = true
           case Some((a, b, cnt)) =>
             merges += ((k, a, b, cnt))
-            val prev = vocab
-            vocab = prev.map { case (s, c) => (Bpe.mergeOnce(s, a, b), c) }
-              .persist(StorageLevel.MEMORY_AND_DISK)
-            vocab.count() // materialize round k before freeing round k-1
-            prev.unpersist(blocking = false)
+            vocab = rounds.materialize(
+              vocab.map { case (s, c) => (Bpe.mergeOnce(s, a, b), c) })
             k += 1
         }
       }
       merges.result()
-    } finally vocab.unpersist(blocking = false)
+    } finally rounds.free()
   }
 
   /** Batched distributed training: per round, ONE pair-count aggregate,
@@ -100,18 +135,23 @@ object BpeSpark {
     * nMerges sequential Spark jobs (~100 ms dispatch each → hours of
     * fixed cost); batching amortizes that dispatch by up to batchSize×
     * while vocab stays a distributed Dataset and driver traffic stays
-    * ≤ batchSize rows per round. Returns (merges-in-rank-order,
+    * ≤ batchSize rows per round. `skipConflicts = true` switches the
+    * selection to skip-and-continue (Bpe.disjointSelect) — more merges
+    * per round on natural text, larger order-divergence from the
+    * sequential trainer. Returns (merges-in-rank-order,
     * rounds-executed); batchSize = 1 is exactly `trainMerges`. */
   def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
-      batchSize: Int): (Vector[(Int, String, String, Long)], Int) = {
+      batchSize: Int, skipConflicts: Boolean = false)
+      : (Vector[(Int, String, String, Long)], Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    var vocab: Dataset[(Vector[String], Long)] = wordCounts(docs, textCol)
-      .as[(String, Long)]
-      .map { case (w, c) => (Bpe.symbolize(w), c) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val roundVocab = new RoundVocab(spark)
+    var vocab: Dataset[(Vector[String], Long)] = roundVocab.materialize(
+      wordCounts(docs, textCol)
+        .as[(String, Long)]
+        .map { case (w, c) => (Bpe.symbolize(w), c) })
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     try {
       var k = 0
@@ -127,24 +167,21 @@ object BpeSpark {
           .limit(math.min(batchSize, nMerges - k))
           .as[(String, String, Long)]
           .collect().toVector
-        val batch = Bpe.disjointPrefix(top)
+        val batch = Bpe.disjointSelect(top, skipConflicts)
         if (batch.isEmpty) done = true
         else {
           batch.foreach { case (a, b, cnt) =>
             merges += ((k, a, b, cnt)); k += 1
           }
-          val prev = vocab
-          vocab = prev.map { case (s, c) =>
+          vocab = roundVocab.materialize(vocab.map { case (s, c) =>
             (batch.foldLeft(s) { case (acc, (a, b, _)) =>
               Bpe.mergeOnce(acc, a, b) }, c)
-          }.persist(StorageLevel.MEMORY_AND_DISK)
-          vocab.count() // materialize round before freeing the previous
-          prev.unpersist(blocking = false)
+          })
           rounds += 1
         }
       }
       (merges.result(), rounds)
-    } finally vocab.unpersist(blocking = false)
+    } finally roundVocab.free()
   }
 
   /** Default bound on the per-partition word→tokens encode cache: ~1M

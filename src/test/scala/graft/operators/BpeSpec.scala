@@ -124,6 +124,34 @@ class BpeSpec extends SparkTestBase {
       Vector(("a", "a", 5L)))
   }
 
+  test("disjointSelect skip mode keeps scanning past conflicts") {
+    val ranked = Vector(("a", "b", 9L), ("c", "d", 8L), ("b", "e", 7L),
+      ("f", "g", 6L))
+    // skip mode passes over (b,e) and still commits (f,g); the selected
+    // set stays pairwise symbol-disjoint either way
+    assert(Bpe.disjointSelect(ranked, skipConflicts = true) ==
+      Vector(("a", "b", 9L), ("c", "d", 8L), ("f", "g", 6L)))
+    // Spark trainer honors the flag: a tie-free corpus whose top-3 pairs
+    // conflict pairwise at position 2 commits 2 pairs in round 1 under
+    // skip mode vs 1+stop under prefix mode
+    import spark.implicits._
+    val tiny = Seq("ab ab ab ab", "bc bc bc", "de de").toDF("text")
+    val wc = Map("ab" -> 4L, "bc" -> 3L, "de" -> 2L)
+    // ranked: (a,b):4, (b,c):3 conflicts on b, (d,e):2 disjoint
+    val (prefix, prefixRounds) =
+      Bpe.trainBatched(wc, nMerges = 3, batchSize = 3)
+    val (skip, skipRounds) =
+      Bpe.trainBatched(wc, nMerges = 3, batchSize = 3, skipConflicts = true)
+    assert(prefix.map { case (a, b, _) => (a, b) }.take(1) ==
+      Vector(("a", "b")) && prefixRounds == 2)
+    assert(skip.map { case (a, b, _) => (a, b) } ==
+      Vector(("a", "b"), ("d", "e"), ("b", "c")) && skipRounds == 2)
+    val (sparkSkip, sparkSkipRounds) = BpeSpark.trainMergesBatched(
+      tiny, "text", nMerges = 3, batchSize = 3, skipConflicts = true)
+    assert(sparkSkip.map { case (_, a, b, c) => (a, b, c) } == skip)
+    assert(sparkSkipRounds == skipRounds)
+  }
+
   test("pure trainBatched with batchSize=1 == exact trainer") {
     import spark.implicits._
     val wc = docs.select(explode(split(col("text"), " ")).as("w"))
