@@ -30,6 +30,17 @@ def canon(rows, cols):
     return sorted(out), [cols[i] for i in order]
 
 
+def run_side(con, sql):
+    """One execution per side: schema types AND row values both come from
+    the same Arrow table (a separate fetchall would re-run the query —
+    the xxhash64 CTE-chain oracles are expensive enough to care)."""
+    tbl = con.execute(sql).arrow()
+    cols = list(tbl.schema.names)
+    types = [str(tbl.schema.field(c).type) for c in cols]
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, types, rows
+
+
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -52,14 +63,8 @@ def main(sf_dir, out_dir, only=None):
             # Arrow schemas carry the real types (the DB-API description
             # collapses BIGINT/DECIMAL128 both to NUMBER); the driver's
             # type-sensitive hash operates at this level.
-            d_schema = con.execute(sql).arrow().schema
-            d_cols = list(d_schema.names)
-            d_types = [str(d_schema.field(c).type) for c in d_cols]
-            d_rows = con.execute(sql).fetchall()
-            s_schema = con.execute(spark_sql).arrow().schema
-            s_cols = list(s_schema.names)
-            s_types = [str(s_schema.field(c).type) for c in s_cols]
-            s_rows = con.execute(spark_sql).fetchall()
+            d_cols, d_types, d_rows = run_side(con, sql)
+            s_cols, s_types, s_rows = run_side(con, spark_sql)
         except Exception as e:
             print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
             n_err += 1

@@ -143,9 +143,18 @@ object Bpe {
     * more merges per round on natural text (where top pairs share
     * common letters), at the cost of larger order-divergence from the
     * sequential trainer (a skipped pair would have been its very next
-    * pick). Either way the selected set is pairwise symbol-disjoint, so
-    * every recorded count is exact (disjoint merges cannot perturb each
-    * other's occurrences). */
+    * pick).
+    *
+    * A pair conflicts if either of its symbols is a SYMBOL of an
+    * earlier-selected pair OR that pair's FUSION PRODUCT a+b. The
+    * fusion check matters: the vocabulary can already contain a symbol
+    * equal to an earlier member's product (e.g. "abc" formed in a past
+    * round) — without it, a batch like [(a,bc), (abc,d)] passes the
+    * symbol check, but applying (a,bc) first CREATES new [abc, d]
+    * adjacencies that (abc,d) would then consume beyond its recorded
+    * count. With both checks, a selected merge can neither create nor
+    * destroy another selected pair's occurrences, so every recorded
+    * count is exact and in-batch application order is irrelevant. */
   def disjointSelect(ranked: Vector[(String, String, Long)],
       skipConflicts: Boolean): Vector[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
@@ -156,7 +165,7 @@ object Bpe {
       val (a, b, _) = ranked(i)
       if (used.contains(a) || used.contains(b)) {
         if (skipConflicts) i += 1 else stop = true
-      } else { used += a; used += b; out += ranked(i); i += 1 }
+      } else { used += a; used += b; used += (a + b); out += ranked(i); i += 1 }
     }
     out.result()
   }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.core.Bpe
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed BPE vocabulary training — tokenizer learning at corpus
   * scale, the same driver-loop-with-distributed-state shape as the CC
@@ -59,70 +58,54 @@ object BpeSpark {
     * fixpoint's per-round parquet persistence, paid in block-manager
     * blocks instead of files. */
   private final class RoundVocab(spark: SparkSession) {
-    import spark.implicits._
-    private var backing: org.apache.spark.rdd.RDD[(Vector[String], Long)] = _
+    private var backingId: Option[Int] = None
     def materialize(ds: Dataset[(Vector[String], Long)])
         : Dataset[(Vector[String], Long)] = {
-      // localCheckpoint (MEMORY_AND_DISK blocks) truncates the RDD
-      // DEPENDENCY chain too — a plain persist leaves every round's RDD
-      // referencing the previous round's, and task serialization walks
-      // that chain recursively (measured: executor StackOverflowError
-      // ~60 rounds in). Trade-off: localCheckpoint gives up recompute-
-      // on-block-loss — an executor failure mid-training fails the job
-      // and training restarts (the merge table built so far is plain
-      // driver data, so a caller can resume by replaying merges onto a
-      // fresh vocab); a production 30–50k-merge run on flaky hardware
-      // would parquet-checkpoint every ~100 rounds instead (the CC
-      // persistRound pattern).
-      val rdd = ds.rdd.localCheckpoint()
-      rdd.count() // materialize this round before freeing the previous one
-      if (backing != null) backing.unpersist(blocking = false)
-      backing = rdd
-      spark.createDataset(rdd)
+      // Dataset.localCheckpoint(eager) truncates BOTH growth axes while
+      // keeping the cached blocks in compact tungsten InternalRow format
+      // (an earlier ds.rdd-level variant cached deserialized object
+      // graphs — several times the footprint for a vocab documented as
+      // "millions of rows"): the logical plan becomes a constant-size
+      // LogicalRDD scan (a plain per-round persist grows it by one map
+      // stage per round, and the per-job plan work — explain strings,
+      // analysis, codegen keys — grows quadratically: measured driver
+      // OOM at a 60-merge run with an 8 GB heap), and the RDD dependency
+      // chain is cut (task serialization walks it recursively: measured
+      // executor StackOverflowError ~60 rounds in). Trade-off:
+      // localCheckpoint gives up recompute-on-block-loss — an executor
+      // failure mid-training fails the job and training restarts (the
+      // merge table built so far is plain driver data, so a caller can
+      // resume by replaying merges onto a fresh vocab); a production
+      // 30–50k-merge run on flaky hardware would parquet-checkpoint
+      // every ~100 rounds instead (the CC persistRound pattern).
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val m = ds.localCheckpoint(eager = true)
+      // Dataset exposes no handle to its checkpoint blocks, so free the
+      // previous round deterministically by diffing the persistent-RDD
+      // registry around the checkpoint; if concurrent activity makes the
+      // diff ambiguous, skip tracking — the blocks then fall to the
+      // ContextCleaner when the old Dataset is GC'd (leak-to-GC, never
+      // a wrong unpersist)
+      val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      free()
+      backingId = if (added.size == 1) Some(added.head) else None
+      m
     }
-    def free(): Unit =
-      if (backing != null) backing.unpersist(blocking = false)
+    def free(): Unit = {
+      backingId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      backingId = None
+    }
   }
 
   /** Train `nMerges` merges; returns (rank, a, b, cnt) in merge order.
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains. One merge per round —
+    * exactly `trainMergesBatched` with batchSize = 1 (a single-element
+    * ranked list can never conflict), which is how it is implemented;
+    * BpeSpec pins the equality to the pure-Scala reference trainer. */
   def trainMerges(docs: DataFrame, textCol: String,
-      nMerges: Int): Vector[(Int, String, String, Long)] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    val rounds = new RoundVocab(spark)
-    var vocab: Dataset[(Vector[String], Long)] = rounds.materialize(
-      wordCounts(docs, textCol)
-        .as[(String, Long)]
-        .map { case (w, c) => (Bpe.symbolize(w), c) })
-    val merges = Vector.newBuilder[(Int, String, String, Long)]
-    try {
-      var k = 0
-      var done = false
-      while (k < nMerges && !done) {
-        // pair counts: flatMap + groupBy(sum) — partial aggregation
-        // collapses each partition's pairs before the shuffle
-        val best = vocab.flatMap { case (syms, c) =>
-            Bpe.pairsOf(syms).map { case (a, b) => (a, b, c) }
-          }.toDF("a", "b", "c")
-          .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1) // ONE row to the driver per round
-          .as[(String, String, Long)]
-          .collect()
-        best.headOption match {
-          case None => done = true
-          case Some((a, b, cnt)) =>
-            merges += ((k, a, b, cnt))
-            vocab = rounds.materialize(
-              vocab.map { case (s, c) => (Bpe.mergeOnce(s, a, b), c) })
-            k += 1
-        }
-      }
-      merges.result()
-    } finally rounds.free()
-  }
+      nMerges: Int): Vector[(Int, String, String, Long)] =
+    trainMergesBatched(docs, textCol, nMerges, batchSize = 1)._1
 
   /** Batched distributed training: per round, ONE pair-count aggregate,
     * one `min(batchSize, remaining)`-row TakeOrdered collect, and the
@@ -232,13 +215,5 @@ object BpeSpark {
           (id, toks.length, toks.distinct.length)
         }
       }.toDF(idCol, "n_tokens", "n_distinct_tokens")
-  }
-
-  /** The merge table as a DataFrame (driver query surface, q98). */
-  def mergeTable(spark: SparkSession, docs: DataFrame, textCol: String,
-      nMerges: Int): DataFrame = {
-    import spark.implicits._
-    trainMerges(docs, textCol, nMerges)
-      .toDF("rank", "a", "b", "cnt")
   }
 }

@@ -17,15 +17,27 @@ object Round4Queries {
 
   /** q98 trains and q99 encodes with the SAME 10-merge table; queries are
     * independent entries by contract, but the learned table is a pure
-    * function of (data root, nMerges), so it is memoized per key — one
+    * function of (corpus bytes, nMerges), so it is memoized per key — one
     * training run per verify/bench sweep instead of two (round-4 verdict:
-    * q99 was paying the full training cost again). The memo holds plain
-    * driver-side tuples, so it survives session restarts within the JVM. */
+    * q99 was paying the full training cost again). The key carries the
+    * corpus parquet's (length, mtime) fingerprint, NOT just the path: a
+    * path-only key would silently serve a table trained on a previous
+    * generation if the testdata is regenerated in a long-lived JVM — and
+    * q98/q99 are rows-only-checked, so nothing downstream would catch
+    * the staleness. The memo holds plain driver-side tuples, so it
+    * survives session restarts within the JVM. */
   private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Vector[(Int, String, String, Long)]]()
+    (String, String, Int), Vector[(Int, String, String, Long)]]()
+  private def corpusFingerprint(d: String): String = {
+    // documents.parquet is a single driver-written file in the testdata
+    // layout; for a directory the (length, mtime) of the dir entry still
+    // changes on regeneration (children rewritten)
+    val f = new java.io.File(s"$d/documents.parquet")
+    s"${f.length}:${f.lastModified}"
+  }
   private[queries] def trainedMerges(s: SparkSession, d: String,
       nMerges: Int): Vector[(Int, String, String, Long)] =
-    mergeMemo.computeIfAbsent((d, nMerges),
+    mergeMemo.computeIfAbsent((d, corpusFingerprint(d), nMerges),
       _ => graft.operators.BpeSpark.trainMerges(documents(s, d), "text",
         nMerges))
 

@@ -124,6 +124,52 @@ class BpeSpec extends SparkTestBase {
       Vector(("a", "a", 5L)))
   }
 
+  test("disjointSelect rejects a pair touching an earlier FUSION product") {
+    // vocab can already contain "abc" from a past round; without the
+    // fusion check [(a,bc), (abc,d)] would both select, and applying
+    // (a,bc) first creates new [abc, d] adjacencies that (abc,d) then
+    // consumes beyond its recorded count
+    assert(Bpe.disjointSelect(
+      Vector(("a", "bc", 10L), ("abc", "d", 9L)), skipConflicts = false) ==
+      Vector(("a", "bc", 10L)))
+    assert(Bpe.disjointSelect(
+      Vector(("a", "bc", 10L), ("abc", "d", 9L), ("x", "y", 8L)),
+      skipConflicts = true) ==
+      Vector(("a", "bc", 10L), ("x", "y", 8L)))
+    // end-to-end: counts recorded by the batched trainer stay exact in
+    // exactly this shape — "zabcd" holds both an (a,bc)-reachable and a
+    // pre-existing-"abc" adjacency once (ab,c) has merged in round 1
+    val wc = Map("abc" -> 9L, "zabcd" -> 4L, "qq" -> 6L)
+    val (batched, _) = Bpe.trainBatched(wc, nMerges = 6, batchSize = 6,
+      skipConflicts = true)
+    // every recorded count must equal the pure pair count at its round's
+    // start — replay the merges and check each against a fresh count
+    var vocab = wc.toVector.map { case (w, c) => (Bpe.symbolize(w), c) }
+    var i = 0
+    while (i < batched.length) {
+      val counts = Bpe.pairCounts(vocab)
+      // all merges recorded from the same round share the same baseline;
+      // a round boundary is where a recorded count exceeds the current
+      // baseline for its pair (impossible within a round by exactness)
+      val (a, b, cnt) = batched(i)
+      assert(counts((a, b)) == cnt,
+        s"merge $i ($a,$b): recorded $cnt, actual ${counts((a, b))}")
+      // apply every merge of the round that starts at i: same baseline
+      var j = i
+      var roundEnd = i
+      while (j < batched.length &&
+          counts.get((batched(j)._1, batched(j)._2)).contains(batched(j)._3)) {
+        roundEnd = j + 1; j += 1
+      }
+      val round = batched.slice(i, roundEnd)
+      vocab = vocab.map { case (s, c) =>
+        (round.foldLeft(s) { case (acc, (x, y, _)) =>
+          Bpe.mergeOnce(acc, x, y) }, c)
+      }
+      i = roundEnd
+    }
+  }
+
   test("disjointSelect skip mode keeps scanning past conflicts") {
     val ranked = Vector(("a", "b", 9L), ("c", "d", 8L), ("b", "e", 7L),
       ("f", "g", 6L))
