@@ -145,16 +145,19 @@ object Bpe {
     * sequential trainer (a skipped pair would have been its very next
     * pick).
     *
-    * A pair conflicts if either of its symbols is a SYMBOL of an
-    * earlier-selected pair OR that pair's FUSION PRODUCT a+b. The
-    * fusion check matters: the vocabulary can already contain a symbol
-    * equal to an earlier member's product (e.g. "abc" formed in a past
-    * round) — without it, a batch like [(a,bc), (abc,d)] passes the
-    * symbol check, but applying (a,bc) first CREATES new [abc, d]
-    * adjacencies that (abc,d) would then consume beyond its recorded
-    * count. With both checks, a selected merge can neither create nor
-    * destroy another selected pair's occurrences, so every recorded
-    * count is exact and in-batch application order is irrelevant. */
+    * A candidate (a, b) conflicts if ANY of a, b, or its fusion product
+    * a+b intersects an earlier selection's {symbols ∪ fusion}. Both
+    * fusion directions matter — the vocabulary can already contain a
+    * symbol equal to a fusion product ("abc" formed in a past round):
+    *   - forward: in [(a,bc), (abc,d)], applying (a,bc) CREATES new
+    *     [abc, d] adjacencies that (abc,d) would consume beyond its
+    *     recorded count;
+    *   - backward: in [(abc,d), (a,bc)], applying (a,bc) FIRST would do
+    *     the same — exact only under selection-order application.
+    * Rejecting on either direction makes a selected merge unable to
+    * create or destroy any other selection's occurrences, so every
+    * recorded count is exact and in-batch application order is
+    * genuinely irrelevant (no hidden ordering contract for callers). */
   def disjointSelect(ranked: Vector[(String, String, Long)],
       skipConflicts: Boolean): Vector[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
@@ -163,7 +166,7 @@ object Bpe {
     var stop = false
     while (i < ranked.length && !stop) {
       val (a, b, _) = ranked(i)
-      if (used.contains(a) || used.contains(b)) {
+      if (used.contains(a) || used.contains(b) || used.contains(a + b)) {
         if (skipConflicts) i += 1 else stop = true
       } else { used += a; used += b; used += (a + b); out += ranked(i); i += 1 }
     }

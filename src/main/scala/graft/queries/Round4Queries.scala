@@ -28,18 +28,26 @@ object Round4Queries {
     * survives session restarts within the JVM. */
   private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int), Vector[(Int, String, String, Long)]]()
-  private def corpusFingerprint(d: String): String = {
+  private def corpusFingerprint(d: String): Option[String] = {
     // documents.parquet is a single driver-written file in the testdata
     // layout; for a directory the (length, mtime) of the dir entry still
-    // changes on regeneration (children rewritten)
+    // changes on regeneration (children rewritten). A NON-LOCAL root
+    // (s3://, hdfs://) is invisible to java.io.File — length/mtime come
+    // back 0 and every generation would fingerprint identically, which
+    // is exactly the staleness hole the fingerprint exists to close, so
+    // an un-fingerprintable root gets NO memoization at all.
     val f = new java.io.File(s"$d/documents.parquet")
-    s"${f.length}:${f.lastModified}"
+    if (f.exists) Some(s"${f.length}:${f.lastModified}") else None
   }
   private[queries] def trainedMerges(s: SparkSession, d: String,
-      nMerges: Int): Vector[(Int, String, String, Long)] =
-    mergeMemo.computeIfAbsent((d, corpusFingerprint(d), nMerges),
-      _ => graft.operators.BpeSpark.trainMerges(documents(s, d), "text",
-        nMerges))
+      nMerges: Int): Vector[(Int, String, String, Long)] = {
+    def train() =
+      graft.operators.BpeSpark.trainMerges(documents(s, d), "text", nMerges)
+    corpusFingerprint(d) match {
+      case Some(fp) => mergeMemo.computeIfAbsent((d, fp, nMerges), _ => train())
+      case None => train()
+    }
+  }
 
   val queries: Map[String, QFn] = Map(
     // deterministic 37% Bernoulli-by-hash split over documents — the

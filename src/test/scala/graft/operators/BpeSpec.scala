@@ -126,9 +126,9 @@ class BpeSpec extends SparkTestBase {
 
   test("disjointSelect rejects a pair touching an earlier FUSION product") {
     // vocab can already contain "abc" from a past round; without the
-    // fusion check [(a,bc), (abc,d)] would both select, and applying
-    // (a,bc) first creates new [abc, d] adjacencies that (abc,d) then
-    // consumes beyond its recorded count
+    // forward fusion check [(a,bc), (abc,d)] would both select, and
+    // applying (a,bc) first creates new [abc, d] adjacencies that
+    // (abc,d) then consumes beyond its recorded count
     assert(Bpe.disjointSelect(
       Vector(("a", "bc", 10L), ("abc", "d", 9L)), skipConflicts = false) ==
       Vector(("a", "bc", 10L)))
@@ -136,38 +136,55 @@ class BpeSpec extends SparkTestBase {
       Vector(("a", "bc", 10L), ("abc", "d", 9L), ("x", "y", 8L)),
       skipConflicts = true) ==
       Vector(("a", "bc", 10L), ("x", "y", 8L)))
-    // end-to-end: counts recorded by the batched trainer stay exact in
-    // exactly this shape — "zabcd" holds both an (a,bc)-reachable and a
-    // pre-existing-"abc" adjacency once (ab,c) has merged in round 1
+    // BACKWARD direction: a candidate whose own fusion equals an earlier
+    // selection's symbol is rejected too — otherwise counts would be
+    // exact only under selection-order application, a hidden ordering
+    // contract on callers
+    assert(Bpe.disjointSelect(
+      Vector(("abc", "d", 10L), ("a", "bc", 9L)), skipConflicts = false) ==
+      Vector(("abc", "d", 10L)))
+    assert(Bpe.disjointSelect(
+      Vector(("abc", "d", 10L), ("a", "bc", 9L), ("x", "y", 8L)),
+      skipConflicts = true) ==
+      Vector(("abc", "d", 10L), ("x", "y", 8L)))
+  }
+
+  test("batched trainer: every recorded count equals its round baseline") {
+    // replay the trainer's own selection rule round by round and assert
+    // (a) the merge stream partitions into exactly those rounds, and
+    // (b) every recorded count equals the PURE pair count at the
+    // round's start — the counts-stay-exact contract, checked against a
+    // corpus whose vocabulary contains fusion-product symbols ("abc"
+    // pre-exists while (a,bc)-shaped merges are still reachable)
     val wc = Map("abc" -> 9L, "zabcd" -> 4L, "qq" -> 6L)
-    val (batched, _) = Bpe.trainBatched(wc, nMerges = 6, batchSize = 6,
+    val nMerges = 6
+    val batchSize = 6
+    val (batched, rounds) = Bpe.trainBatched(wc, nMerges, batchSize,
       skipConflicts = true)
-    // every recorded count must equal the pure pair count at its round's
-    // start — replay the merges and check each against a fresh count
     var vocab = wc.toVector.map { case (w, c) => (Bpe.symbolize(w), c) }
-    var i = 0
-    while (i < batched.length) {
+    var idx = 0
+    var replayRounds = 0
+    while (idx < batched.length) {
       val counts = Bpe.pairCounts(vocab)
-      // all merges recorded from the same round share the same baseline;
-      // a round boundary is where a recorded count exceeds the current
-      // baseline for its pair (impossible within a round by exactness)
-      val (a, b, cnt) = batched(i)
-      assert(counts((a, b)) == cnt,
-        s"merge $i ($a,$b): recorded $cnt, actual ${counts((a, b))}")
-      // apply every merge of the round that starts at i: same baseline
-      var j = i
-      var roundEnd = i
-      while (j < batched.length &&
-          counts.get((batched(j)._1, batched(j)._2)).contains(batched(j)._3)) {
-        roundEnd = j + 1; j += 1
+      val ranked = Bpe.rankPairs(counts)
+        .take(math.min(batchSize, nMerges - idx))
+      val batch = Bpe.disjointSelect(ranked, skipConflicts = true)
+      assert(batch.nonEmpty)
+      assert(batched.slice(idx, idx + batch.length) == batch,
+        s"round $replayRounds at merge $idx: trainer emitted " +
+          s"${batched.slice(idx, idx + batch.length)}, replay selected $batch")
+      batch.foreach { case (a, b, cnt) =>
+        assert(counts((a, b)) == cnt,
+          s"($a,$b): recorded $cnt, baseline ${counts((a, b))}")
       }
-      val round = batched.slice(i, roundEnd)
       vocab = vocab.map { case (s, c) =>
-        (round.foldLeft(s) { case (acc, (x, y, _)) =>
+        (batch.foldLeft(s) { case (acc, (x, y, _)) =>
           Bpe.mergeOnce(acc, x, y) }, c)
       }
-      i = roundEnd
+      idx += batch.length
+      replayRounds += 1
     }
+    assert(replayRounds == rounds)
   }
 
   test("disjointSelect skip mode keeps scanning past conflicts") {
