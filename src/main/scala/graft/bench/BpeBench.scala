@@ -12,12 +12,50 @@ import org.apache.spark.sql.SparkSession
   * fixed cost that dominates at 30–50k merges — shrinks by the mean
   * committed-batch size.
   *
-  * Usage: runMain graft.bench.BpeBench [sfDir] [nMerges] [batch]
-  * Prints one line per trainer: merges, rounds, wall seconds.
+  * Usage: runMain graft.bench.BpeBench [sfDir|synth:<nDocs>]
+  *   [nMerges] [batch]
+  * The `synth:<nDocs>` source generates a deterministic Zipf corpus
+  * over a 50k-word lexicon — the sf dirs' synthetic keyword corpus
+  * EXHAUSTS its mergeable vocabulary at ~90 merges, so
+  * thousand-merge-scale evidence needs a corpus with natural-text-like
+  * pair diversity. Prints one line per trainer: merges, rounds, wall
+  * seconds.
   */
 object BpeBench {
+
+  /** Deterministic Zipf-ish corpus: `nDocs` docs × 80 words drawn from a
+    * 50k-word lexicon with density concentrated on low ranks (u³ draw).
+    * Pure function of (doc id, position) — identical at any
+    * parallelism, no RNG state. */
+  def synthDocs(spark: SparkSession, nDocs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val lexSize = 50000
+    def word(rank: Int): String = {
+      // base-26 encoding, 4+ letters: distinct per rank, varied lengths
+      val sb = new StringBuilder
+      var r = rank + 26 * 26 * 26 * 26 // force ≥ 4 letters
+      while (r > 0) { sb += ('a' + r % 26).toChar; r /= 26 }
+      sb.result()
+    }
+    spark.range(0L, nDocs, 1L, 64).map { id =>
+      val words = new StringBuilder
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      var i = 0
+      while (i < 80) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val u = ((x >>> 11).toDouble / (1L << 53).toDouble)
+        val rank = (u * u * u * lexSize).toInt.min(lexSize - 1)
+        if (i > 0) words += ' '
+        words ++= word(rank)
+        i += 1
+      }
+      words.result()
+    }.toDF("text")
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val source = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nMerges = if (args.length > 1) args(1).toInt else 60
     val batch = if (args.length > 2) args(2).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,12 +64,19 @@ object BpeBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs =
+      if (source.startsWith("synth:"))
+        synthDocs(spark, source.stripPrefix("synth:").toLong)
+      else spark.read.parquet(s"$source/documents.parquet")
     // warm-up: parquet footer + codegen caches, excluded from the clock
     BpeSpark.trainMerges(docs, "text", 2)
 
+    // the exact leg is one Spark round per merge — cap it at 200 rounds
+    // and extrapolate, or a synth:2000-merge probe would spend most of
+    // its wall on the baseline it exists to beat
+    val exactN = math.min(nMerges, 200)
     val t0 = System.nanoTime()
-    val exact = BpeSpark.trainMerges(docs, "text", nMerges)
+    val exact = BpeSpark.trainMerges(docs, "text", exactN)
     val exactS = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val (batched, rounds) =
@@ -45,15 +90,19 @@ object BpeBench {
     def overlap(m: Vector[(Int, String, String, Long)]): Int =
       m.map { case (_, a, b, _) => (a, b) }.toSet.intersect(exactSet).size
     // scalastyle:off println
+    val capNote = if (exactN < nMerges)
+      f" (capped at $exactN of $nMerges; extrapolated " +
+        f"${exactS / exact.length * nMerges}%.0f s)"
+    else ""
     println(f"[bpe] exact     merges=${exact.length} " +
-      f"rounds=${exact.length} wall=$exactS%.2f s")
+      f"rounds=${exact.length} wall=$exactS%.2f s$capNote")
     println(f"[bpe] prefix    merges=${batched.length} rounds=$rounds " +
       f"wall=$batchedS%.2f s (batch=$batch, " +
-      f"${exact.length.toDouble / rounds}%.1fx fewer rounds, " +
+      f"${batched.length.toDouble / rounds}%.1f merges/round, " +
       f"merge-set overlap with exact ${overlap(batched)}/${exact.length})")
     println(f"[bpe] skip      merges=${skipped.length} rounds=$skipRounds " +
       f"wall=$skippedS%.2f s (batch=$batch, " +
-      f"${exact.length.toDouble / skipRounds}%.1fx fewer rounds, " +
+      f"${skipped.length.toDouble / skipRounds}%.1f merges/round, " +
       f"merge-set overlap with exact ${overlap(skipped)}/${exact.length})")
     // scalastyle:on println
     spark.stop()
