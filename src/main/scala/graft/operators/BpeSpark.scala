@@ -173,18 +173,18 @@ object BpeSpark {
     * any real corpus partition. */
   val DefaultMaxCacheWords: Int = 1 << 20
 
-  /** Tokenize the corpus with a learned merge table: per-doc token and
-    * distinct-token counts under the trained vocabulary. The merge ranks
-    * broadcast (a merge table is nMerges rows — tiny); encoding is a
-    * narrow typed map, zero shuffle before the final per-doc aggregate.
-    * The per-word encode is cached per partition — corpus word frequency
-    * follows a Zipf law, so the hit rate is high. The cache is SIZE
-    * BOUNDED at `maxCacheWords`: a pathological partition (unique-word
-    * spam) would otherwise grow it without limit; on overflow it is
-    * cleared — the Zipf head re-warms within a few rows, and an
-    * adversarial all-unique partition degrades to cache-free encoding
-    * instead of an OOM. */
-  def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+  /** Tokenize the corpus with a learned merge table: (id, tokens) under
+    * the trained vocabulary — the materialized product a training-data
+    * pipeline actually ships downstream. The merge ranks broadcast (a
+    * merge table is nMerges rows — tiny); encoding is a narrow typed
+    * map, zero shuffle. The per-word encode is cached per partition —
+    * corpus word frequency follows a Zipf law, so the hit rate is high.
+    * The cache is SIZE BOUNDED at `maxCacheWords`: a pathological
+    * partition (unique-word spam) would otherwise grow it without
+    * limit; on overflow it is cleared — the Zipf head re-warms within a
+    * few rows, and an adversarial all-unique partition degrades to
+    * cache-free encoding instead of an OOM. */
+  def encodeTokens(docs: DataFrame, textCol: String, idCol: String,
       merges: Vector[(Int, String, String, Long)],
       maxCacheWords: Int = DefaultMaxCacheWords): DataFrame = {
     val spark = docs.sparkSession
@@ -212,8 +212,20 @@ object BpeSpark {
               }
             }
             .toVector
-          (id, toks.length, toks.distinct.length)
+          (id, toks)
         }
-      }.toDF(idCol, "n_tokens", "n_distinct_tokens")
+      }.toDF(idCol, "tokens")
   }
+
+  /** Per-doc token and distinct-token counts under the trained
+    * vocabulary — expression-level reductions over `encodeTokens`
+    * (still one narrow pass: Catalyst fuses the size/array_distinct
+    * projection into the same stage as the typed map). */
+  def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Vector[(Int, String, String, Long)],
+      maxCacheWords: Int = DefaultMaxCacheWords): DataFrame =
+    encodeTokens(docs, textCol, idCol, merges, maxCacheWords)
+      .select(col(idCol),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_distinct_tokens"))
 }

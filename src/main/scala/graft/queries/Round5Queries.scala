@@ -75,7 +75,17 @@ object Round5Queries {
       merges.map { case (rank, a, b, cnt) => (rank, a, b, cnt, rounds) }
         .toDF("rank", "a", "b", "cnt", "rounds")
         .orderBy("rank")
-    }))
+    }),
+
+    // tokenized-corpus materialization: (doc_id, tokens) under the
+    // (memoized) q98 vocabulary — the artifact a training pipeline
+    // ships downstream, vs q99's count summary. SQL-inexpressible
+    // (rank-priority merge inference) → rows-only + the exact
+    // encode-equality spec in BpeSpec
+    "q102_bpe_tokens" -> ((s, d) =>
+      graft.operators.BpeSpark.encodeTokens(documents(s, d), "text",
+          "doc_id", Round4Queries.trainedMerges(s, d, 10))
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     // sample draw replayed bit-exactly via the XxHash64Sql CTE chain

@@ -266,6 +266,22 @@ class BpeSpec extends SparkTestBase {
         s"${got.length} merges")
   }
 
+  test("Spark encodeTokens == pure encode token-for-token") {
+    import spark.implicits._
+    val merges = BpeSpark.trainMerges(docs, "text", 10)
+    val ranks = merges.map { case (rk, a, b, _) => (a, b) -> rk }.toMap
+    val got = BpeSpark.encodeTokens(docs, "text", "doc_id", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val want = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, text) =>
+        id -> text.split(' ').toSeq.flatMap(Bpe.encode(_, ranks))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, toks) =>
+      assert(toks == want(id), s"doc $id tokens diverge")
+    }
+  }
+
   test("encode cache cap: adversarial all-unique words, capped == uncapped") {
     import spark.implicits._
     // every word distinct → zero cache hits; with maxCacheWords=2 the
