@@ -75,6 +75,18 @@ object OracleAssumptions {
       "collisions among distinct signature slices — the q45 banded " +
       "candidate join would admit pairs the exact-slice oracle rejects"
 
+    // q103's Space-Saving sketch is oracle-compared against plain exact
+    // counts, which is valid ONLY in the sketch's exact regime: the
+    // corpus vocabulary must fit the 4096-counter capacity with margin,
+    // so no partial summary ever evicts (per-partition distinct counts
+    // are bounded by the global distinct count)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    if (vocab > 2048) out += s"$dir: $vocab distinct tokens exceeds half " +
+      "the q103 sketch capacity (4096) — the exact-regime oracle " +
+      "assumption (no counter eviction anywhere) is no longer safe"
+
     out.result()
   }
 }

@@ -85,7 +85,20 @@ object Round5Queries {
     "q102_bpe_tokens" -> ((s, d) =>
       graft.operators.BpeSpark.encodeTokens(documents(s, d), "text",
           "doc_id", Round4Queries.trainedMerges(s, d, 10))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Space-Saving heavy hitters: top-20 corpus tokens via mergeable
+    // capacity-bounded summaries (no corpus shuffle). Capacity 4096 vs
+    // the corpus's ~31-word vocabulary puts the sketch in its EXACT
+    // regime — no counter ever evicts, counts are order-independent and
+    // err = 0 — so the query is DuckDB-oracleable against plain exact
+    // counts (the vocab-fits-capacity assumption is pinned per sf dir
+    // in OracleAssumptionsSpec); the approximate/eviction regime is
+    // bound-verified in SketchesSpec
+    "q103_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.heavyHitters(documents(s, d), "text",
+          capacity = 4096, k = 20)
+        .orderBy(col("cnt").desc, col("word").asc)))
 
   val oracles: Map[String, String] = Map(
     // sample draw replayed bit-exactly via the XxHash64Sql CTE chain
@@ -120,5 +133,14 @@ object Round5Queries {
          |  CAST(len(w[st + 1 : st + 32]) AS INT) AS n_tokens,
          |  array_to_string(w[st + 1 : st + 32], ' ') AS chunk
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
-    })
+    },
+
+    // the sketch's exact regime (capacity >> vocabulary, pinned by
+    // OracleAssumptionsSpec) makes it equal to plain exact counting
+    "q103_heavy_hitters" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.operators.Sketches.SpaceSaving
+import org.apache.spark.sql.functions._
+
+/** Space-Saving heavy hitters: the exact regime (capacity ≥ distinct
+  * items everywhere) is asserted EQUAL to exact counting — that equality
+  * is what licenses q103's DuckDB oracle — and the eviction regime is
+  * verified against the algorithm's guaranteed bounds (est − err ≤ true
+  * ≤ est; state never exceeds capacity), since under eviction the point
+  * estimates are order-dependent by design.
+  */
+class SketchesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact regime == exact counts on the documents corpus") {
+    val got = Sketches.heavyHitters(docs, "text", capacity = 4096, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("exact regime is partitioning-invariant") {
+    val a = Sketches.heavyHitters(docs.repartition(1), "text", 4096, 10)
+      .collect().map(_.toSeq)
+    val b = Sketches.heavyHitters(docs.repartition(13), "text", 4096, 10)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("eviction regime: bounds hold and state stays capacity-bounded") {
+    // skewed stream: item "hot" appears 500×, 200 singletons churn the
+    // 8 counters constantly
+    val stream = new scala.util.Random(42).shuffle(
+      (Vector.fill(500)("hot") ++ (0 until 200).map(i => s"u$i")).toList)
+    val s = SpaceSaving.build(8, stream.iterator)
+    assert(s.counters.size <= 8)
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size.toLong
+    s.topK(8).foreach { case (x, est, err) =>
+      val t = truth(x)
+      assert(est >= t, s"$x: est $est < true $t (Space-Saving never " +
+        "underestimates)")
+      assert(est - err <= t, s"$x: est-err ${est - err} > true $t")
+      assert(err <= n / 8 + 1, s"$x: err $err exceeds the N/capacity bound")
+    }
+    // the one genuinely heavy item must surface as the top counter
+    assert(s.topK(1).head._1 == "hot")
+  }
+
+  test("merge: exact when neither side is full; bounds survive when full") {
+    // exact merge
+    val a = SpaceSaving.build(16, Iterator("x", "x", "y"))
+    val b = SpaceSaving.build(16, Iterator("y", "z"))
+    val m = a.merge(b)
+    assert(m.topK(3) == Vector(("x", 2L, 0L), ("y", 2L, 0L), ("z", 1L, 0L)))
+    // full-side merge: absent items inherit the full side's min as both
+    // estimate share and error; bounds still hold vs the combined truth
+    val big = SpaceSaving.build(4,
+      (Vector.fill(50)("h") ++ (0 until 40).map(i => s"a$i")).iterator)
+    val other = SpaceSaving.build(4, Iterator("h", "h", "b0", "b0", "b1"))
+    val merged = big.merge(other)
+    assert(merged.counters.size <= 4)
+    val h = merged.topK(4).find(_._1 == "h").get
+    assert(h._2 >= 52L && h._2 - h._3 <= 52L,
+      s"h: est ${h._2} err ${h._3} vs true 52")
+  }
+}
