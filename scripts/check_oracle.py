@@ -76,13 +76,26 @@ def main(sf_dir, out_dir, only=None, types_out=None):
             continue
         dc, dcols = canon(d_rows, d_cols)
         sc, scols = canon(s_rows, s_cols)
-        d_tmap = dict(zip(d_cols, d_types))
-        s_tmap = dict(zip(s_cols, s_types))
-        for c in sorted(set(d_cols) | set(s_cols)):
-            audit.append((name, c, s_tmap.get(c, "<missing>"),
-                          d_tmap.get(c, "<missing>")))
-        type_bad = [(c, s_tmap[c], d_tmap[c]) for c in dcols
-                    if c in s_tmap and s_tmap[c] != d_tmap[c]]
+        # types are compared POSITIONALLY along the same canon column
+        # ordering the values use — a name-keyed dict would collapse
+        # duplicate column names to the last occurrence and compare only
+        # that one's type, contradicting run_side's duplicate-column
+        # rationale (round-5 advice)
+        d_ctypes = [d_types[i]
+                    for i in sorted(range(len(d_cols)),
+                                    key=lambda i: d_cols[i])]
+        s_ctypes = [s_types[i]
+                    for i in sorted(range(len(s_cols)),
+                                    key=lambda i: s_cols[i])]
+        for i in range(max(len(dcols), len(scols))):
+            audit.append((name,
+                          dcols[i] if i < len(dcols) else scols[i],
+                          s_ctypes[i] if i < len(scols) else "<missing>",
+                          d_ctypes[i] if i < len(dcols) else "<missing>"))
+        type_bad = ([(dcols[i], s_ctypes[i], d_ctypes[i])
+                     for i in range(len(dcols))
+                     if s_ctypes[i] != d_ctypes[i]]
+                    if dcols == scols else [])
         if dcols != scols:
             print(f"BAD  {name}: columns spark={scols} duck={dcols}")
             n_bad += 1

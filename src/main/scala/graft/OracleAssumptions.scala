@@ -87,6 +87,17 @@ object OracleAssumptions {
       "the q103 sketch capacity (4096) — the exact-regime oracle " +
       "assumption (no counter eviction anywhere) is no longer safe"
 
+    // q104 runs the same sketch over word BIGRAMS (rawShingles k=2,
+    // the q92 gram expression) — its exact-regime oracle needs the
+    // bigram vocabulary to fit the 4096 capacity with the same margin
+    val bigramVocab = docs
+      .select(explode(graft.operators.CorpusOps.rawShingles(col("text"), 2))
+        .as("g"))
+      .agg(countDistinct(col("g"))).collect()(0).getLong(0)
+    if (bigramVocab > 2048) out += s"$dir: $bigramVocab distinct bigrams " +
+      "exceeds half the q104 sketch capacity (4096) — the exact-regime " +
+      "oracle assumption (no counter eviction anywhere) is no longer safe"
+
     out.result()
   }
 }

@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Round2Queries.queries ++
       graft.queries.Round3Queries.queries ++
       graft.queries.Round4Queries.queries ++
-      graft.queries.Round5Queries.queries
+      graft.queries.Round5Queries.queries ++
+      graft.queries.Round6Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Round2Queries.oracles ++
       graft.queries.Round3Queries.oracles ++
       graft.queries.Round4Queries.oracles ++
-      graft.queries.Round5Queries.oracles
+      graft.queries.Round5Queries.oracles ++
+      graft.queries.Round6Queries.oracles
 }

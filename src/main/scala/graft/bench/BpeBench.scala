@@ -90,7 +90,9 @@ object BpeBench {
     def overlap(m: Vector[(Int, String, String, Long)]): Int =
       m.map { case (_, a, b, _) => (a, b) }.toSet.intersect(exactSet).size
     // scalastyle:off println
-    val capNote = if (exactN < nMerges)
+    // guard the per-merge division: a corpus with no mergeable pairs
+    // trains zero merges and would print NaN/Infinity (round-5 advice)
+    val capNote = if (exactN < nMerges && exact.nonEmpty)
       f" (capped at $exactN of $nMerges; extrapolated " +
         f"${exactS / exact.length * nMerges}%.0f s)"
     else ""

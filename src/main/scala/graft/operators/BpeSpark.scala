@@ -124,21 +124,83 @@ object BpeSpark {
     * sequential trainer. Returns (merges-in-rank-order,
     * rounds-executed); batchSize = 1 is exactly `trainMerges`. */
   def trainMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
-      batchSize: Int, skipConflicts: Boolean = false)
+      batchSize: Int, skipConflicts: Boolean = false,
+      checkpointEvery: Int = 0, checkpointDir: String = "")
       : (Vector[(Int, String, String, Long)], Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val vocab0 = wordCounts(docs, textCol)
+      .as[(String, Long)]
+      .map { case (w, c) => (Bpe.symbolize(w), c) }
+    trainLoop(spark, vocab0, Vector.empty, rounds0 = 0, nMerges,
+      batchSize, skipConflicts, checkpointEvery, checkpointDir)
+  }
+
+  /** Resume batched training from the newest COMMITTED checkpoint under
+    * `checkpointDir` (written by a prior run with `checkpointEvery` >
+    * 0): reloads the per-word symbol vocab and the merges learned so
+    * far, then continues toward the TOTAL `nMerges` target. Selection
+    * state is fully captured by (vocab, merges), so an interrupted run
+    * resumed here yields the same merge table as an uninterrupted one —
+    * pinned by BpeSpec's resume-after-kill spec. Checkpoint discovery
+    * lists the directory via java.io.File (driver-local path); a
+    * non-local root (s3://, hdfs://) would go through the Hadoop
+    * FileSystem API instead. */
+  def resumeMergesBatched(spark: SparkSession, checkpointDir: String,
+      nMerges: Int, batchSize: Int, skipConflicts: Boolean = false,
+      checkpointEvery: Int = 0)
+      : (Vector[(Int, String, String, Long)], Int) = {
+    import spark.implicits._
+    val committed = Option(new java.io.File(checkpointDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("r\\d+") &&
+        new java.io.File(f, "_COMMIT").exists)
+      .map(_.getName.drop(1).toInt)
+    require(committed.nonEmpty,
+      s"no committed checkpoint under $checkpointDir")
+    val r = committed.max
+    val merges0 = spark.read
+      .parquet(s"$checkpointDir/r$r/merges")
+      .select("rank", "a", "b", "cnt")
+      .as[(Int, String, String, Long)]
+      .collect().toVector.sortBy(_._1)
+    val vocab0 = spark.read.parquet(s"$checkpointDir/r$r/vocab")
+      .select("syms", "c")
+      .as[(Vector[String], Long)]
+    trainLoop(spark, vocab0, merges0, rounds0 = r, nMerges, batchSize,
+      skipConflicts, checkpointEvery, checkpointDir)
+  }
+
+  /** Shared driver loop for fresh and resumed batched training. With
+    * `checkpointEvery` > 0 it writes (vocab, merges-so-far) as parquet
+    * under `checkpointDir/r<round>/` every that-many rounds, committing
+    * each with a `_COMMIT` marker written LAST — a run killed mid-write
+    * leaves no marker and resume falls back to the previous committed
+    * round. This is the production alternative to localCheckpoint's
+    * recompute trade-off (RoundVocab scaladoc): a multi-hour 30–50k-
+    * merge run on flaky hardware restarts from the last committed round
+    * instead of from scratch, at the cost of one vocab-sized columnar
+    * write per cadence. */
+  private def trainLoop(spark: SparkSession,
+      vocab0: Dataset[(Vector[String], Long)],
+      merges0: Vector[(Int, String, String, Long)], rounds0: Int,
+      nMerges: Int, batchSize: Int, skipConflicts: Boolean,
+      checkpointEvery: Int, checkpointDir: String)
+      : (Vector[(Int, String, String, Long)], Int) = {
+    import spark.implicits._
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(checkpointEvery >= 0,
+      s"checkpointEvery must be >= 0, got $checkpointEvery")
+    require(checkpointEvery == 0 || checkpointDir.nonEmpty,
+      "checkpointEvery > 0 needs a checkpointDir")
     val roundVocab = new RoundVocab(spark)
-    var vocab: Dataset[(Vector[String], Long)] = roundVocab.materialize(
-      wordCounts(docs, textCol)
-        .as[(String, Long)]
-        .map { case (w, c) => (Bpe.symbolize(w), c) })
+    var vocab = roundVocab.materialize(vocab0)
     val merges = Vector.newBuilder[(Int, String, String, Long)]
+    merges ++= merges0
     try {
-      var k = 0
-      var rounds = 0
+      var k = merges0.length
+      var rounds = rounds0
       var done = false
       while (k < nMerges && !done) {
         val top = vocab.flatMap { case (syms, c) =>
@@ -161,10 +223,32 @@ object BpeSpark {
               Bpe.mergeOnce(acc, a, b) }, c)
           })
           rounds += 1
+          if (checkpointEvery > 0 && rounds % checkpointEvery == 0)
+            writeCheckpoint(spark, checkpointDir, rounds, vocab,
+              merges.result())
         }
       }
       (merges.result(), rounds)
     } finally roundVocab.free()
+  }
+
+  private def writeCheckpoint(spark: SparkSession, dir: String, round: Int,
+      vocab: Dataset[(Vector[String], Long)],
+      merges: Vector[(Int, String, String, Long)]): Unit = {
+    import spark.implicits._
+    val base = s"$dir/r$round"
+    // invalidate any stale commit of this round BEFORE rewriting its
+    // data, so a kill mid-rewrite can never leave a marker over
+    // half-written parquet (resume then falls back one cadence)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(base, "_COMMIT"))
+    vocab.toDF("syms", "c").write.mode("overwrite")
+      .parquet(s"$base/vocab")
+    merges.toDF("rank", "a", "b", "cnt").write.mode("overwrite")
+      .parquet(s"$base/merges")
+    // marker LAST: its presence means both writes completed
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(base, "_COMMIT"))
   }
 
   /** Default bound on the per-partition word→tokens encode cache: ~1M

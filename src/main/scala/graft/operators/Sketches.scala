@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency sketches — the corpus-statistics operator class
@@ -35,22 +35,39 @@ object Sketches {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     private[operators] val counters =
       scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    // min-ordered (count, item) index kept in lockstep with `counters`
+    // (every write goes through `put`): eviction and minCount are
+    // O(log capacity) instead of the O(capacity) minBy scan — at the
+    // advertised corpus-scale capacities (4096+) the scan regime was
+    // O(N·capacity) per partition in steady-state eviction (round-5
+    // advice). Ordering is (count, item), so `head` is the minimum
+    // counter with ties broken by key — byte-identical eviction choice
+    // to the old scan at fixed input order.
+    private val byCount =
+      scala.collection.mutable.TreeSet.empty[(Long, String)]
 
     private def full: Boolean = counters.size >= capacity
     private[operators] def minCount: Long =
-      if (counters.isEmpty) 0L else counters.valuesIterator.map(_._1).min
+      if (counters.isEmpty) 0L else byCount.head._1
+
+    private def put(x: String, c: Long, e: Long): Unit = {
+      counters.get(x).foreach { case (old, _) => byCount.remove((old, x)) }
+      counters.update(x, (c, e))
+      byCount.add((c, x))
+    }
 
     def add(x: String, w: Long = 1L): this.type = {
       counters.get(x) match {
-        case Some((c, e)) => counters.update(x, (c + w, e))
-        case None if !full => counters.update(x, (w, 0L))
+        case Some((c, e)) => put(x, c + w, e)
+        case None if !full => put(x, w, 0L)
         case None =>
           // evict the minimum counter (ties broken by key for
           // reproducibility at fixed input order); its count bounds how
           // much the newcomer may be overestimated
-          val (mk, (mc, _)) = counters.minBy { case (k, (c, _)) => (c, k) }
+          val (mc, mk) = byCount.head
+          byCount.remove((mc, mk))
           counters.remove(mk)
-          counters.update(x, (mc + w, mc))
+          put(x, mc + w, mc)
       }
       this
     }
@@ -75,7 +92,7 @@ object Sketches {
       val kept =
         if (combined.size <= capacity) combined
         else combined.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
-      kept.foreach { case (k, ce) => out.counters.update(k, ce) }
+      kept.foreach { case (k, (c, e)) => out.put(k, c, e) }
       out
     }
 
@@ -97,23 +114,31 @@ object Sketches {
   }
 
   /** Top-`k` most frequent whitespace tokens of `textCol` via
-    * Space-Saving: narrow explode → one capacity-bounded summary per
-    * partition (mapPartitions — genuine per-partition imperative state,
-    * the documented RDD exception) → log-depth treeReduce merge. The
-    * corpus never shuffles; driver traffic is O(capacity · log
-    * partitions). Returns (word, cnt, err) in (cnt desc, word asc)
-    * order; err = 0 rows are exact. */
+    * Space-Saving. Returns (word, cnt, err); see [[heavyHittersOf]]. */
   def heavyHitters(docs: DataFrame, textCol: String, capacity: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    heavyHittersOf(docs, split(col(textCol), " "), capacity, k, "word")
+
+  /** Top-`k` most frequent items of an arbitrary per-row token ARRAY
+    * column (words, n-gram shingles, URLs …) via Space-Saving: narrow
+    * explode → one capacity-bounded summary per partition
+    * (mapPartitions — genuine per-partition imperative state, the
+    * documented RDD exception) → log-depth treeReduce merge. The corpus
+    * never shuffles; driver traffic is O(capacity · log partitions) —
+    * the shape that matters when the key space is itself corpus-sized
+    * (the n-gram regime this file's header motivates: an exact groupBy
+    * would shuffle the whole key space). Returns (itemCol, cnt, err) in
+    * (cnt desc, item asc) order; err = 0 rows are exact. */
+  def heavyHittersOf(docs: DataFrame, items: Column, capacity: Int,
+      k: Int, itemCol: String): DataFrame = {
     require(k > 0 && k <= capacity,
       s"need 0 < k <= capacity, got k=$k capacity=$capacity")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("w")).as[String]
-    val merged = words.rdd
+    val toks = docs.select(explode(items).as("w")).as[String]
+    val merged = toks.rdd
       .mapPartitions(it => Iterator(SpaceSaving.build(capacity, it)))
       .treeReduce((a, b) => a.merge(b), depth = 2)
-    merged.topK(k).toDF("word", "cnt", "err")
+    merged.topK(k).toDF(itemCol, "cnt", "err")
   }
 }

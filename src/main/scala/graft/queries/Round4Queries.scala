@@ -36,8 +36,33 @@ object Round4Queries {
     // back 0 and every generation would fingerprint identically, which
     // is exactly the staleness hole the fingerprint exists to close, so
     // an un-fingerprintable root gets NO memoization at all.
+    // (length, mtime) alone leaves a residual collision: a regeneration
+    // landing in the same mtime tick with identical byte length would
+    // serve a stale table, and q98/q99/q102 are rows-only-checked — so
+    // the key also carries a SHA-256 over the file's first and last 8 KB
+    // (parquet footer metadata + first page: any content change moves
+    // it) (round-5 advice).
     val f = new java.io.File(s"$d/documents.parquet")
-    if (f.exists) Some(s"${f.length}:${f.lastModified}") else None
+    if (f.isDirectory) Some(s"${f.length}:${f.lastModified}")
+    else if (!f.isFile) None
+    else {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(8192L, f.length).toInt)
+        in.readFully(head)
+        md.update(head)
+        if (f.length > 8192) {
+          val tail =
+            new Array[Byte](math.min(8192L, f.length - 8192).toInt)
+          in.seek(f.length - tail.length)
+          in.readFully(tail)
+          md.update(tail)
+        }
+      } finally in.close()
+      val h = md.digest().take(8).map("%02x".format(_)).mkString
+      Some(s"${f.length}:${f.lastModified}:$h")
+    }
   }
   private[queries] def trainedMerges(s: SparkSession, d: String,
       nMerges: Int): Vector[(Int, String, String, Long)] = {

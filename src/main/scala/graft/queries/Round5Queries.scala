@@ -81,10 +81,16 @@ object Round5Queries {
     // (memoized) q98 vocabulary — the artifact a training pipeline
     // ships downstream, vs q99's count summary. SQL-inexpressible
     // (rank-priority merge inference) → rows-only + the exact
-    // encode-equality spec in BpeSpec
+    // encode-equality spec in BpeSpec. The token list is flattened to a
+    // space-joined string (q72 convention): the driver's checker
+    // pandas-sorts every output — including no-oracle ones — and nested
+    // values crash its hash; tokens never contain spaces (they are
+    // merges of space-split words), so the join is lossless and
+    // token-level equality stays pinned by BpeSpec
     "q102_bpe_tokens" -> ((s, d) =>
       graft.operators.BpeSpark.encodeTokens(documents(s, d), "text",
           "doc_id", Round4Queries.trainedMerges(s, d, 10))
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("tokens"))
         .orderBy("doc_id")),
 
     // Space-Saving heavy hitters: top-20 corpus tokens via mergeable

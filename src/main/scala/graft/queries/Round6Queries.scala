@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.operators.{CorpusOps, Sketches}
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: the two sketch operators a 100-TB curation layer
+  * still needed after round 5 — Space-Saving run on the key space its
+  * design actually targets (corpus-sized n-grams, where exact groupBy
+  * would shuffle the whole key space), and mergeable quantiles (the
+  * doc-length/score distribution-cutoff primitive that otherwise costs a
+  * global sort).
+  */
+object Round6Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // Space-Saving heavy hitters over word BIGRAMS — the motivating
+    // regime from Sketches' header: at 10^12 docs the n-gram key space
+    // is corpus-sized, so q92's exact groupBy twin shuffles the whole
+    // key space while the sketch ships one capacity-bounded summary per
+    // partition. Same gram expression as q92 (rawShingles: short docs
+    // contribute their single degenerate gram), so the oracle mirrors
+    // q92's SQL. Capacity 4096 vs the sf dirs' ≲1000-bigram vocabulary
+    // puts the sketch in its EXACT regime (no eviction anywhere → equal
+    // to exact counting, order-independent, err = 0) — pinned per sf
+    // dir in OracleAssumptionsSpec; the eviction regime (bigram vocab
+    // ≫ capacity) is bound-verified + benched in SketchesSpec.
+    "q104_heavy_hitter_bigrams" -> ((s, d) =>
+      Sketches.heavyHittersOf(documents(s, d),
+          CorpusOps.rawShingles(col("text"), 2), capacity = 4096, k = 20,
+          itemCol = "gram")
+        .orderBy(col("cnt").desc, col("gram").asc)),
+
+    // Mergeable quantiles: per-language n_chars distribution cutoffs via
+    // percentile_approx — Spark's GK-style QuantileSummaries, a
+    // MERGEABLE bounded summary that partial-aggregates map-side, so at
+    // corpus scale each group costs O(accuracy·log n) state instead of
+    // the exact percentile's full per-group sort (q83 is the exact,
+    // oracled twin of this shape). Approximate-by-contract → rows-only
+    // check (q39 pattern) + Round6Spec pins the GK rank guarantee
+    // (|rank(returned) − q·n| ≤ n/accuracy, returned value ∈ group) and
+    // determinism against an exact in-process twin.
+    "q105_quantile_sketch" -> ((s, d) =>
+      documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("n_chars"), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col("n_chars"), lit(0.50), lit(10000)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.75), lit(10000)).as("p75"))
+        .orderBy("lang")))
+
+  val oracles: Map[String, String] = Map(
+    // exact regime (capacity ≫ bigram vocabulary, OracleAssumptionsSpec)
+    // == plain exact counting; gram expression mirrors q92's oracle
+    "q104_heavy_hitter_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT unnest([array_to_string(words[i:i+1], ' ')
+        |  FOR i IN range(1, greatest(len(words) - 1, 1) + 1)]) AS gram
+        |  FROM w)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)
+}

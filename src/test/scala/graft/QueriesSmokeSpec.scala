@@ -34,6 +34,22 @@ class QueriesSmokeSpec extends SparkTestBase {
       // a non-broadcast cartesian product is never acceptable in ANY query
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
+      // driver-compat fence (round-6, from the q102 red row): the
+      // driver's correctness checker pandas-sorts EVERY query output —
+      // including no-oracle entries — and a nested value crashes its
+      // canonicalization (`TypeError: unhashable type: 'numpy.ndarray'`).
+      // The repo convention is to flatten lists to strings (q72, q102);
+      // this assertion turns the whole bug class into a build failure.
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nested.isEmpty,
+        s"$name emits nested output column(s) ${nested.mkString(", ")} — " +
+          "the driver's checker cannot hash nested values; flatten to a " +
+          "string (array_join/concat_ws, q72 convention) or explode")
     }
   }
 

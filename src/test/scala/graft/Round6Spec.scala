@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 queries: q104's exact-regime equality lives in SketchesSpec
+  * (plus the DuckDB oracle); q105 is approximate-by-contract (q39
+  * pattern), so this spec pins the GK sketch's rank guarantee against
+  * the exact per-group distribution and its determinism for fixed
+  * input — the properties the rows-only driver check cannot see.
+  */
+class Round6Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q105: percentile_approx honors the GK rank guarantee per group") {
+    val rows = SparkEntry.queries("q105_quantile_sketch")(spark, sf)
+      .collect()
+    val byLang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(1)).sorted }
+    assert(rows.map(_.getString(0)).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val n = r.getLong(1)
+      val vals = byLang(lang)
+      assert(vals.length.toLong == n, s"$lang group size")
+      Seq(0.25 -> r.getLong(2), 0.50 -> r.getLong(3), 0.75 -> r.getLong(4))
+        .foreach { case (q, got) =>
+          // GK guarantee (accuracy = 10000): the returned value is an
+          // actual element whose rank is within n/accuracy of q·n
+          assert(vals.contains(got), s"$lang p$q=$got not a data element")
+          val lo = vals.indexOf(got) + 1 // 1-based rank window of `got`
+          val hi = vals.lastIndexOf(got) + 1
+          val eps = n.toDouble / 10000 + 1
+          val target = q * n
+          assert(lo - eps <= target && target <= hi + eps,
+            s"$lang p$q=$got rank window [$lo,$hi] misses target " +
+              s"$target beyond ±$eps")
+        }
+    }
+  }
+
+  test("q105 is deterministic for fixed input") {
+    val a = SparkEntry.queries("q105_quantile_sketch")(spark, sf)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("q105_quantile_sketch")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("q102 output is flat and round-trips the token stream") {
+    // the flattened string must carry exactly the encoded tokens (space
+    // join is lossless: tokens are merges of space-split words, so they
+    // never contain a space themselves)
+    val df = SparkEntry.queries("q102_bpe_tokens")(spark, sf)
+    assert(df.schema("tokens").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.operators.BpeSpark.trainMerges(docs, "text", 10)
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(' ').toVector
+          .flatMap(w => graft.core.Bpe.encode(w,
+            merges.map { case (rank, a, b, _) => (a, b) -> rank }.toMap))
+          .mkString(" ")).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+}

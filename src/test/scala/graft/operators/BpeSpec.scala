@@ -297,4 +297,37 @@ class BpeSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("checkpointed training resumes after a kill to the same table") {
+    // the production cadence (trainLoop scaladoc): an interrupted run
+    // restarts from the newest COMMITTED round. Simulated kill: a first
+    // run checkpoints every 2 rounds and stops at 6 merges (as if the
+    // process died there); resume continues from disk to the full 10
+    // and must equal an uninterrupted 10-merge run.
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-ckpt").toString
+    val (partial, _) = BpeSpark.trainMergesBatched(docs, "text",
+      nMerges = 6, batchSize = 1, skipConflicts = false,
+      checkpointEvery = 2, checkpointDir = dir)
+    assert(partial.length == 6)
+    assert(new java.io.File(s"$dir/r6/_COMMIT").exists)
+    val (resumed, _) = BpeSpark.resumeMergesBatched(spark, dir,
+      nMerges = 10, batchSize = 1)
+    val want = BpeSpark.trainMerges(docs, "text", 10)
+    assert(resumed == want)
+  }
+
+  test("resume ignores an uncommitted (killed mid-write) checkpoint") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-ckpt-dirty").toString
+    BpeSpark.trainMergesBatched(docs, "text", nMerges = 4, batchSize = 1,
+      checkpointEvery = 2, checkpointDir = dir)
+    // fake a later round whose writes completed but whose marker never
+    // landed — resume must fall back to r4, not trust r6
+    val dirty = new java.io.File(s"$dir/r6/vocab")
+    dirty.mkdirs()
+    val (resumed, _) = BpeSpark.resumeMergesBatched(spark, dir,
+      nMerges = 8, batchSize = 1)
+    assert(resumed == BpeSpark.trainMerges(docs, "text", 8))
+  }
 }

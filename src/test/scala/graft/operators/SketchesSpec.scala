@@ -71,4 +71,53 @@ class SketchesSpec extends SparkTestBase {
     assert(h._2 >= 52L && h._2 - h._3 <= 52L,
       s"h: est ${h._2} err ${h._3} vs true 52")
   }
+
+  test("q104 licensing equality: bigram exact regime == exact counts") {
+    // capacity 4096 ≫ the sf dirs' bigram vocabulary (pinned in
+    // OracleAssumptionsSpec) → the sketch over bigrams equals the exact
+    // q92-shape twin; this equality is what licenses q104's oracle
+    val got = Sketches.heavyHittersOf(docs,
+        CorpusOps.rawShingles(col("text"), 2), 4096, 20, "gram")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = CorpusOps.ngramCounts(docs, "text", k = 2, topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("eviction regime over bigrams: vocab exceeds capacity, bounds hold") {
+    // the motivating regime the header advertises: the BIGRAM vocabulary
+    // (thousands) exceeds the sketch capacity (256), so every partition
+    // evicts and the treeReduce merge runs in its approximate regime —
+    // exactly where an exact groupBy would shuffle the whole key space.
+    // Zipf-ish skew (cubed uniform) gives genuine heavy hitters.
+    val rnd = new scala.util.Random(7)
+    def zipfWord(): String =
+      s"w${math.min((math.pow(rnd.nextDouble(), 3) * 150).toInt, 149)}"
+    val texts = Vector.fill(800)(
+      Vector.fill(30)(zipfWord()).mkString(" "))
+    import spark.implicits._
+    val sdocs = texts.toDF("text").repartition(8)
+    val cap = 256
+    val grams = CorpusOps.rawShingles(col("text"), 2)
+    val got = Sketches.heavyHittersOf(sdocs, grams, cap, cap, "gram")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = sdocs.select(explode(grams).as("g"))
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.size > cap,
+      s"test setup: bigram vocab ${truth.size} must exceed capacity $cap")
+    assert(got.length <= cap)
+    got.foreach { case (g, est, err) =>
+      val t = truth(g)
+      assert(est >= t, s"$g: est $est < true $t")
+      assert(est - err <= t, s"$g: est-err ${est - err} > true $t")
+    }
+    // heavy-hitter recall: the skew head must survive eviction — the
+    // top-3 TRUE bigrams each dwarf the N/capacity noise floor
+    val sketch = got.map(_._1).toSet
+    val top3 = truth.toVector.sortBy { case (g, c) => (-c, g) }.take(3)
+    top3.foreach { case (g, c) =>
+      assert(sketch.contains(g), s"true heavy hitter $g (count $c) evicted")
+    }
+  }
 }
