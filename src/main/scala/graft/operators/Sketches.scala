@@ -42,9 +42,16 @@ object Sketches {
     // O(N·capacity) per partition in steady-state eviction (round-5
     // advice). Ordering is (count, item), so `head` is the minimum
     // counter with ties broken by key — byte-identical eviction choice
-    // to the old scan at fixed input order.
-    private val byCount =
-      scala.collection.mutable.TreeSet.empty[(Long, String)]
+    // to the old scan at fixed input order. @transient: the index is
+    // derived state — serializing it would double every treeReduce
+    // message (measured ~2× on the SketchBench 64k-capacity probe), so
+    // it is rebuilt from `counters` on first access after
+    // deserialization instead.
+    @transient private lazy val byCount = {
+      val t = scala.collection.mutable.TreeSet.empty[(Long, String)]
+      counters.foreach { case (k, (c, _)) => t.add((c, k)) }
+      t
+    }
 
     private def full: Boolean = counters.size >= capacity
     private[operators] def minCount: Long =
