@@ -87,11 +87,20 @@ def main(sf_dir, out_dir, only=None, types_out=None):
         s_ctypes = [s_types[i]
                     for i in sorted(range(len(s_cols)),
                                     key=lambda i: s_cols[i])]
-        for i in range(max(len(dcols), len(scols))):
-            audit.append((name,
-                          dcols[i] if i < len(dcols) else scols[i],
-                          s_ctypes[i] if i < len(scols) else "<missing>",
-                          d_ctypes[i] if i < len(dcols) else "<missing>"))
+        if dcols == scols:
+            for i in range(len(dcols)):
+                audit.append((name, dcols[i], s_ctypes[i], d_ctypes[i]))
+        else:
+            # column sets disagree: positional pairing would attribute
+            # one side's type to the other side's column — fall back to
+            # name-keyed rows so '<missing>' names the absent column
+            # (duplicate names collapse here, but this branch is already
+            # a reported column-mismatch failure)
+            d_tmap = dict(zip(dcols, d_ctypes))
+            s_tmap = dict(zip(scols, s_ctypes))
+            for c in sorted(set(dcols) | set(scols)):
+                audit.append((name, c, s_tmap.get(c, "<missing>"),
+                              d_tmap.get(c, "<missing>")))
         type_bad = ([(dcols[i], s_ctypes[i], d_ctypes[i])
                      for i in range(len(dcols))
                      if s_ctypes[i] != d_ctypes[i]]

@@ -50,8 +50,11 @@ object SketchBench {
     // never reaches the driver, in a probe whose whole point is that it
     // doesn't fit there comfortably
     import spark.implicits._
+    // persisted: consumed by TWO actions below (stats + bounds join) —
+    // without it each would re-run the corpus-sized aggregation
     val counts = docs.select(explode(grams).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .persist()
     val stats = counts.agg(sum(col("cnt")).as("n"),
       count(lit(1)).as("vocab")).collect()(0)
     val (n, vocabSize) = (stats.getLong(0), stats.getLong(1))
@@ -61,6 +64,7 @@ object SketchBench {
       .where(col("est") < col("cnt") ||
         col("est") - col("err") > col("cnt"))
       .collect()
+    counts.unpersist(blocking = false)
     val recall = exact.map(_._1).count(sketch.map(_._1).toSet) // top-k hit
     // scalastyle:off println
     println(f"[sketch] docs=$nDocs bigramVocab=$vocabSize n=$n " +

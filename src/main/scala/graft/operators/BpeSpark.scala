@@ -152,25 +152,49 @@ object BpeSpark {
       checkpointEvery: Int = 0)
       : (Vector[(Int, String, String, Long)], Int) = {
     import spark.implicits._
-    val committed = Option(new java.io.File(checkpointDir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.matches("r\\d+") &&
-        new java.io.File(f, "_COMMIT").exists)
-      .map(_.getName.drop(1).toInt)
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val committed = committedRounds(checkpointDir)
     require(committed.nonEmpty,
       s"no committed checkpoint under $checkpointDir")
     val r = committed.max
+    // selection semantics are part of the training state: resuming with
+    // different (batchSize, skipConflicts) would silently change which
+    // merges the continued rounds commit, so the checkpoint pins them
+    val params = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$checkpointDir/r$r/params.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val expect = paramsLine(batchSize, skipConflicts)
+    require(params == expect,
+      s"checkpoint $checkpointDir/r$r was written with [$params] but " +
+        s"resume was called with [$expect] — selection semantics differ")
     val merges0 = spark.read
       .parquet(s"$checkpointDir/r$r/merges")
       .select("rank", "a", "b", "cnt")
       .as[(Int, String, String, Long)]
       .collect().toVector.sortBy(_._1)
-    val vocab0 = spark.read.parquet(s"$checkpointDir/r$r/vocab")
-      .select("syms", "c")
-      .as[(Vector[String], Long)]
-    trainLoop(spark, vocab0, merges0, rounds0 = r, nMerges, batchSize,
-      skipConflicts, checkpointEvery, checkpointDir)
+    if (merges0.length >= nMerges)
+      // the checkpoint already meets the target: honor the
+      // never-more-than-nMerges contract instead of returning the
+      // checkpoint's larger table verbatim
+      (merges0.take(nMerges), r)
+    else {
+      val vocab0 = spark.read.parquet(s"$checkpointDir/r$r/vocab")
+        .select("syms", "c")
+        .as[(Vector[String], Long)]
+      trainLoop(spark, vocab0, merges0, rounds0 = r, nMerges, batchSize,
+        skipConflicts, checkpointEvery, checkpointDir)
+    }
   }
+
+  private def committedRounds(dir: String): Seq[Int] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("r\\d+") &&
+        new java.io.File(f, "_COMMIT").exists)
+      .map(_.getName.drop(1).toInt)
+
+  private def paramsLine(batchSize: Int, skipConflicts: Boolean): String =
+    s"batchSize=$batchSize;skipConflicts=$skipConflicts"
 
   /** Shared driver loop for fresh and resumed batched training. With
     * `checkpointEvery` > 0 it writes (vocab, merges-so-far) as parquet
@@ -194,6 +218,19 @@ object BpeSpark {
       s"checkpointEvery must be >= 0, got $checkpointEvery")
     require(checkpointEvery == 0 || checkpointDir.nonEmpty,
       "checkpointEvery > 0 needs a checkpointDir")
+    if (checkpointEvery > 0 && rounds0 == 0) {
+      // a FRESH checkpointed run takes ownership of the directory:
+      // committed rounds left by a previous run (possibly a different
+      // corpus or parameterization) would otherwise out-rank this run's
+      // progress at resume time and silently mix training states.
+      // Invalidating the markers is enough — unmarked rounds are
+      // invisible to resume, and their data is overwritten when this
+      // run reaches the same round number.
+      committedRounds(checkpointDir).foreach { r =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$checkpointDir/r$r", "_COMMIT"))
+      }
+    }
     val roundVocab = new RoundVocab(spark)
     var vocab = roundVocab.materialize(vocab0)
     val merges = Vector.newBuilder[(Int, String, String, Long)]
@@ -225,7 +262,7 @@ object BpeSpark {
           rounds += 1
           if (checkpointEvery > 0 && rounds % checkpointEvery == 0)
             writeCheckpoint(spark, checkpointDir, rounds, vocab,
-              merges.result())
+              merges.result(), batchSize, skipConflicts)
         }
       }
       (merges.result(), rounds)
@@ -234,7 +271,8 @@ object BpeSpark {
 
   private def writeCheckpoint(spark: SparkSession, dir: String, round: Int,
       vocab: Dataset[(Vector[String], Long)],
-      merges: Vector[(Int, String, String, Long)]): Unit = {
+      merges: Vector[(Int, String, String, Long)],
+      batchSize: Int, skipConflicts: Boolean): Unit = {
     import spark.implicits._
     val base = s"$dir/r$round"
     // invalidate any stale commit of this round BEFORE rewriting its
@@ -246,7 +284,11 @@ object BpeSpark {
       .parquet(s"$base/vocab")
     merges.toDF("rank", "a", "b", "cnt").write.mode("overwrite")
       .parquet(s"$base/merges")
-    // marker LAST: its presence means both writes completed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "params.txt"),
+      paramsLine(batchSize, skipConflicts)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // marker LAST: its presence means all three writes completed
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(base, "_COMMIT"))
   }

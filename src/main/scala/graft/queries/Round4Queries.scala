@@ -43,7 +43,20 @@ object Round4Queries {
     // (parquet footer metadata + first page: any content change moves
     // it) (round-5 advice).
     val f = new java.io.File(s"$d/documents.parquet")
-    if (f.isDirectory) Some(s"${f.length}:${f.lastModified}")
+    if (f.isDirectory) {
+      // Spark-written parquet is a directory; fingerprint the child
+      // listing (name, length, mtime — part-file names carry a fresh
+      // write UUID, so ANY regeneration moves the hash even inside one
+      // mtime tick; same collision-closure as the single-file branch)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName)
+        .foreach(c => md.update(
+          s"${c.getName}:${c.length}:${c.lastModified};"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val h = md.digest().take(8).map("%02x".format(_)).mkString
+      Some(s"dir:${f.lastModified}:$h")
+    }
     else if (!f.isFile) None
     else {
       val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -317,6 +317,40 @@ class BpeSpec extends SparkTestBase {
     assert(resumed == want)
   }
 
+  test("a fresh run invalidates a previous run's stale checkpoints") {
+    // reusing a checkpoint dir across runs must not let run 1's deeper
+    // rounds out-rank run 2's progress at resume time — run 2 owns the
+    // directory (review finding: stale-max would mix training states)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-ckpt-reuse").toString
+    BpeSpark.trainMergesBatched(docs, "text", nMerges = 6, batchSize = 1,
+      checkpointEvery = 2, checkpointDir = dir) // run 1: commits r2..r6
+    BpeSpark.trainMergesBatched(docs, "text", nMerges = 2, batchSize = 1,
+      checkpointEvery = 2, checkpointDir = dir) // run 2: commits only r2
+    val (resumed, _) = BpeSpark.resumeMergesBatched(spark, dir,
+      nMerges = 6, batchSize = 1)
+    // resume must continue from run 2's r2, not run 1's stale r6 —
+    // equality with the uninterrupted trainer proves the continuation
+    // replayed rounds 3..6 rather than trusting the stale table
+    assert(resumed == BpeSpark.trainMerges(docs, "text", 6))
+  }
+
+  test("resume pins selection params and the nMerges ceiling") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-ckpt-params").toString
+    BpeSpark.trainMergesBatched(docs, "text", nMerges = 6, batchSize = 1,
+      checkpointEvery = 2, checkpointDir = dir)
+    // different batchSize would silently change selection semantics
+    intercept[IllegalArgumentException] {
+      BpeSpark.resumeMergesBatched(spark, dir, nMerges = 8, batchSize = 4)
+    }
+    // a target the checkpoint already exceeds returns a TRUNCATED table
+    // (never more than nMerges), not the checkpoint's larger one
+    val (truncated, _) = BpeSpark.resumeMergesBatched(spark, dir,
+      nMerges = 4, batchSize = 1)
+    assert(truncated == BpeSpark.trainMerges(docs, "text", 6).take(4))
+  }
+
   test("resume ignores an uncommitted (killed mid-write) checkpoint") {
     val dir = java.nio.file.Files
       .createTempDirectory("bpe-ckpt-dirty").toString
