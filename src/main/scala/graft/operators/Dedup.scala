@@ -196,7 +196,36 @@ object Dedup {
     * collision — vanishing at any realistic block size, and the final
     * jaccard threshold is still computed from exact shingle-set sizes. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockCol: String, k: Int, threshold: Double): DataFrame = {
+      blockCol: String, k: Int, threshold: Double): DataFrame =
+    shinglePairSizes(docs, textCol, idCol, blockCol, k)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** Exact word-k-gram CONTAINMENT over the same blocked candidates:
+    * score = |A ∩ B| / min(|A|, |B|). The curation gap Jaccard misses —
+    * a short document fully embedded in a long one scores
+    * |B| / (|A| + |B| − |B|) under Jaccard (arbitrarily low as the host
+    * grows) but exactly 1.0 under containment, so quote-inclusion /
+    * boilerplate-wrapping duplicates surface regardless of host length.
+    * Same scale shape and hash-collision assumption as
+    * [[ngramJaccardPairs]]; SQL-expressible → DuckDB-oracled (q106). */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, k: Int, threshold: Double): DataFrame =
+    shinglePairSizes(docs, textCol, idCol, blockCol, k)
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select("a", "b", "containment")
+
+  /** Shared candidate machinery for the exact blocked pair scores:
+    * (a, b, inter, na, nb) per candidate pair — shared-shingle equi-join
+    * on xxhash64(shingle) within the block (see the scaladoc above for
+    * why the join keys on the 8-byte hash), intersection counted per
+    * pair, exact shingle-set sizes joined back. */
+  private def shinglePairSizes(docs: DataFrame, textCol: String,
+      idCol: String, blockCol: String, k: Int): DataFrame = {
     val withSh = docs.select(col(idCol), col(blockCol),
       shingles(col(textCol), k).as("sh"))
     val sizes = withSh.select(col(idCol), col(blockCol),
@@ -212,9 +241,5 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("a"), col("nsh").as("na")), "a")
       .join(sizes.select(col(idCol).as("b"), col("nsh").as("nb")), "b")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
   }
 }

@@ -48,7 +48,19 @@ object Round6Queries {
         percentile_approx(col("n_chars"), lit(0.25), lit(10000)).as("p25"),
         percentile_approx(col("n_chars"), lit(0.50), lit(10000)).as("p50"),
         percentile_approx(col("n_chars"), lit(0.75), lit(10000)).as("p75"))
-        .orderBy("lang")))
+        .orderBy("lang")),
+
+    // Containment near-dup: exact 3-gram containment (|A∩B| / min sets)
+    // over the q44 blocked candidates — the dedup axis Jaccard misses:
+    // a short doc fully embedded in a long host scores near zero under
+    // Jaccard but exactly 1.0 under containment (the sf dirs contain
+    // such a pair; the quote-inclusion / boilerplate-wrapping case).
+    // Same candidate join, same 8-byte shingle-hash keys, same collision
+    // assumption as q44; pair output is bounded by the 0.10 threshold.
+    "q106_containment_neardup" -> ((s, d) =>
+      graft.operators.Dedup.containmentPairs(documents(s, d), "text",
+          "doc_id", "source", k = 3, threshold = 0.10)
+        .orderBy("a", "b")))
 
   val oracles: Map[String, String] = Map(
     // exact regime (capacity ≫ bigram vocabulary, OracleAssumptionsSpec)
@@ -60,5 +72,28 @@ object Round6Queries {
         |  FROM w)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(0 AS BIGINT) AS err
-        |FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)
+        |FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // mirrors the q44 oracle's candidate CTEs; only the final score
+    // changes (containment i/min instead of jaccard i/(union))
+    "q106_containment_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct([
+        |    array_to_string(words[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(words) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+        |  FROM ex l JOIN ex r ON l.shingle = r.shingle
+        |    AND l.source = r.source AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE AS containment
+        |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+        |           JOIN sz sb ON inter.b = sb.doc_id
+        |WHERE i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE >= 0.10
+        |ORDER BY a, b""".stripMargin)
 }

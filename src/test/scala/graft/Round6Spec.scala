@@ -49,6 +49,32 @@ class Round6Spec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("containment scores an embedded doc 1.0 where Jaccard stays low") {
+    // the operator's reason to exist: doc 20 is fully embedded in the
+    // longer doc 10, so containment = 1.0 while Jaccard = 0.25; doc 30
+    // is identical text in a DIFFERENT block and must produce no pair
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(10L, "a b c d e f g h i j", "s"),
+        Row(20L, "c d e f", "s"),
+        Row(30L, "c d e f", "other")),
+      schema)
+    val cont = graft.operators.Dedup.containmentPairs(docs, "text",
+        "doc_id", "source", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((10L, 20L, 1.0)))
+    // refactor regression: the shared candidate machinery still yields
+    // the exact Jaccard for the same pair (2 shared of 8 union shingles)
+    val jac = graft.operators.Dedup.ngramJaccardPairs(docs, "text",
+        "doc_id", "source", k = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jac.toSeq == Seq((10L, 20L, 0.25)))
+  }
+
   test("q102 output is flat and round-trips the token stream") {
     // the flattened string must carry exactly the encoded tokens (space
     // join is lossless: tokens are merges of space-split words, so they
