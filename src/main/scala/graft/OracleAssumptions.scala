@@ -84,8 +84,9 @@ object OracleAssumptions {
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     if (vocab > 2048) out += s"$dir: $vocab distinct tokens exceeds half " +
-      "the q103 sketch capacity (4096) — the exact-regime oracle " +
-      "assumption (no counter eviction anywhere) is no longer safe"
+      "the q103/q107 sketch capacity (4096) — the exact-regime oracle " +
+      "assumption (no counter eviction anywhere; q107's shards can only " +
+      "shrink a summary's key space) is no longer safe"
 
     // q104 runs the same sketch over word BIGRAMS (rawShingles k=2,
     // the q92 gram expression) — its exact-regime oracle needs the

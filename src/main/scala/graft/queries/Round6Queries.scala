@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.operators.{CorpusOps, Sketches}
 import graft.sources.Tables._
+import graft.streaming.{DocsStream, EventsStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: the two sketch operators a 100-TB curation layer
@@ -14,6 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Round6Queries {
   type QFn = (SparkSession, String) => DataFrame
+
+  /** Memory-sink query names must be unique per start within a session
+    * (Bench runs every query twice: warm-up + timed) — q87 convention. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val queries: Map[String, QFn] = Map(
     // Space-Saving heavy hitters over word BIGRAMS — the motivating
@@ -60,7 +66,48 @@ object Round6Queries {
     "q106_containment_neardup" -> ((s, d) =>
       graft.operators.Dedup.containmentPairs(documents(s, d), "text",
           "doc_id", "source", k = 3, threshold = 0.10)
-        .orderBy("a", "b")))
+        .orderBy("a", "b")),
+
+    // Streaming heavy hitters: the q103 sketch over an unbounded
+    // document stream — tokens shard by word hash, each shard holds ONE
+    // capacity-bounded Space-Saving summary in the state store
+    // (mapGroupsWithState), so streaming state is nShards × capacity
+    // counters however long the stream runs (per-word keyed state would
+    // grow with the vocabulary). In the exact regime (shard vocab ≤
+    // capacity, implied by the corpus pin in OracleAssumptions) the
+    // shard-summary union IS the exact count table, so the query shares
+    // q103's DuckDB oracle. Correct at ANY trigger count — state
+    // accumulates, the reader takes each shard's newest emission — so
+    // unlike q87 no single-batch requirement (two-trigger equality
+    // pinned in StreamingSpec).
+    "q107_stream_heavy_hitters" -> ((s, d) => {
+      val src = new java.io.File(s"$d/documents.parquet")
+      val stream =
+        if (src.isDirectory) DocsStream.heavyHittersStream(s,
+          src.getAbsolutePath, None, capacity = 4096, nShards = 8)
+        else DocsStream.heavyHittersStream(s, d,
+          Some("documents.parquet"), capacity = 4096, nShards = 8)
+      val name = s"q107_hh_${runSeq.incrementAndGet()}"
+      val tbl = EventsStream.runToMemory(s, stream, name, "update")
+      try {
+        val latest = tbl
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("shard").orderBy(col("ver").desc)))
+          .where(col("rn") === 1)
+        val flat = latest
+          .select(explode(col("counters")).as("c"))
+          .select(col("c._1").as("word"), col("c._2").as("cnt"),
+            col("c._3").as("err"))
+          .orderBy(col("cnt").desc, col("word").asc).limit(20)
+        // ≤ 20 rows by construction; materialize so the memory-sink
+        // table can be dropped (q87 convention)
+        val rows = flat.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), flat.schema)
+      } finally {
+        s.catalog.dropTempView(name)
+        ()
+      }
+    }))
 
   val oracles: Map[String, String] = Map(
     // exact regime (capacity ≫ bigram vocabulary, OracleAssumptionsSpec)
@@ -95,5 +142,15 @@ object Round6Queries {
         |FROM inter JOIN sz sa ON inter.a = sa.doc_id
         |           JOIN sz sb ON inter.b = sb.doc_id
         |WHERE i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE >= 0.10
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+
+    // exact streaming regime == exact counting (the q103 oracle,
+    // licensed by the same vocab-fits-capacity pin — sharding can only
+    // shrink each summary's key space)
+    "q107_stream_heavy_hitters" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin)
 }

@@ -142,4 +142,66 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() == 100)
     assert(streamed.select("event_id").distinct().count() == 100)
   }
+
+  test("streaming heavy hitters == exact counts in the exact regime") {
+    // exact regime: every shard's vocab ≤ capacity → the shard-summary
+    // union is the exact count table (the equality licensing q107's
+    // oracle); compared against the BATCH sketch, itself pinned equal
+    // to exact counts in SketchesSpec
+    val streamed = EventsStream.runToMemory(spark,
+      DocsStream.heavyHittersStream(spark, dir,
+        Some("documents.parquet"), capacity = 4096, nShards = 8),
+      "hh_stream", "update")
+    val got = streamed
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(col("ver").desc)))
+      .where(col("rn") === 1)
+      .select(explode(col("counters")).as("c"))
+      .select(col("c._1"), col("c._2"), col("c._3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (w, c, _) => (-c, w) }.take(20)
+    val want = graft.operators.Sketches.heavyHitters(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", 4096, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming heavy hitters accumulate across triggers") {
+    // the property q87 could NOT have (its oracle needs one trigger):
+    // sketch state simply accumulates, so two-trigger delivery yields
+    // the same counts as one — the reader takes each shard's newest
+    // (max-ver) emission
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream6").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 =!= 0)
+    half1.write.mode("append").parquet(s"$tmp/docs")
+    val q = DocsStream.heavyHittersStream(spark, s"$tmp/docs", None,
+        capacity = 4096, nShards = 4)
+      .writeStream.format("memory").queryName("hh_multi")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    half2.write.mode("append").parquet(s"$tmp/docs")
+    q.processAllAvailable()
+    q.stop()
+    val tbl = spark.table("hh_multi")
+    // each shard emitted in BOTH triggers (sanity: this test exercises
+    // cross-trigger state, so require more emissions than shards)
+    assert(tbl.count() > tbl.select("shard").distinct().count())
+    val got = tbl
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(col("ver").desc)))
+      .where(col("rn") === 1)
+      .select(explode(col("counters")).as("c"))
+      .select(col("c._1"), col("c._2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
