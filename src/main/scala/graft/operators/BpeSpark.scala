@@ -160,8 +160,13 @@ object BpeSpark {
     // selection semantics are part of the training state: resuming with
     // different (batchSize, skipConflicts) would silently change which
     // merges the continued rounds commit, so the checkpoint pins them
-    val params = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$checkpointDir/r$r/params.txt")),
+    val paramsPath =
+      java.nio.file.Paths.get(s"$checkpointDir/r$r/params.txt")
+    require(java.nio.file.Files.exists(paramsPath),
+      s"checkpoint $checkpointDir/r$r carries no params.txt (written by " +
+        "a pre-params version?) — cannot validate selection semantics; " +
+        "retrain rather than resume")
+    val params = new String(java.nio.file.Files.readAllBytes(paramsPath),
       java.nio.charset.StandardCharsets.UTF_8)
     val expect = paramsLine(batchSize, skipConflicts)
     require(params == expect,

@@ -4,7 +4,6 @@ import graft.operators.{CorpusOps, Sketches}
 import graft.sources.Tables._
 import graft.streaming.{DocsStream, EventsStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: the two sketch operators a 100-TB curation layer
@@ -90,14 +89,7 @@ object Round6Queries {
       val name = s"q107_hh_${runSeq.incrementAndGet()}"
       val tbl = EventsStream.runToMemory(s, stream, name, "update")
       try {
-        val latest = tbl
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("shard").orderBy(col("ver").desc)))
-          .where(col("rn") === 1)
-        val flat = latest
-          .select(explode(col("counters")).as("c"))
-          .select(col("c._1").as("word"), col("c._2").as("cnt"),
-            col("c._3").as("err"))
+        val flat = DocsStream.latestShardCounters(tbl)
           .orderBy(col("cnt").desc, col("word").asc).limit(20)
         // ≤ 20 rows by construction; materialize so the memory-sink
         // table can be dropped (q87 convention)
@@ -144,13 +136,10 @@ object Round6Queries {
         |WHERE i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE >= 0.10
         |ORDER BY a, b""".stripMargin,
 
-    // exact streaming regime == exact counting (the q103 oracle,
-    // licensed by the same vocab-fits-capacity pin — sharding can only
-    // shrink each summary's key space)
+    // exact streaming regime == exact counting: LITERALLY q103's oracle
+    // (licensed by the same vocab-fits-capacity pin — sharding can only
+    // shrink each summary's key space); referenced, not copied, so the
+    // two can never drift apart
     "q107_stream_heavy_hitters" ->
-      """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |  CAST(0 AS BIGINT) AS err
-        |FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |      FROM documents)
-        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin)
+      Round5Queries.oracles("q103_heavy_hitters"))
 }

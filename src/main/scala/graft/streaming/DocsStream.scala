@@ -73,4 +73,17 @@ object DocsStream {
       }
       .toDF("shard", "ver", "counters")
   }
+
+  /** Reader for [[heavyHittersStream]] output: keep each shard's NEWEST
+    * emission (max ver — correct at any trigger count) and flatten its
+    * summary to (word, cnt, err) rows. The single implementation of the
+    * emission contract — query and specs all read through here. */
+  def latestShardCounters(tbl: DataFrame): DataFrame =
+    tbl.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("ver").desc)))
+      .where(col("rn") === 1)
+      .select(explode(col("counters")).as("c"))
+      .select(col("c._1").as("word"), col("c._2").as("cnt"),
+        col("c._3").as("err"))
 }

@@ -320,19 +320,26 @@ class BpeSpec extends SparkTestBase {
   test("a fresh run invalidates a previous run's stale checkpoints") {
     // reusing a checkpoint dir across runs must not let run 1's deeper
     // rounds out-rank run 2's progress at resume time — run 2 owns the
-    // directory (review finding: stale-max would mix training states)
+    // directory. Run 1 trains a DIFFERENT corpus, so its stale r6 table
+    // provably differs from run 2's continuation: without the fresh-run
+    // invalidation, resume would return run 1's table and the equality
+    // below would fail (second review pass: the same-corpus version of
+    // this test was vacuous)
+    import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("bpe-ckpt-reuse").toString
-    BpeSpark.trainMergesBatched(docs, "text", nMerges = 6, batchSize = 1,
-      checkpointEvery = 2, checkpointDir = dir) // run 1: commits r2..r6
+    val otherCorpus = Seq("zq zq zq qz", "zqzq qzqz zq").toDF("text")
+    BpeSpark.trainMergesBatched(otherCorpus, "text", nMerges = 6,
+      batchSize = 1, checkpointEvery = 2, checkpointDir = dir)
+    // run 2 on the real docs: commits only r2, then "dies"
     BpeSpark.trainMergesBatched(docs, "text", nMerges = 2, batchSize = 1,
-      checkpointEvery = 2, checkpointDir = dir) // run 2: commits only r2
+      checkpointEvery = 2, checkpointDir = dir)
     val (resumed, _) = BpeSpark.resumeMergesBatched(spark, dir,
       nMerges = 6, batchSize = 1)
-    // resume must continue from run 2's r2, not run 1's stale r6 —
-    // equality with the uninterrupted trainer proves the continuation
-    // replayed rounds 3..6 rather than trusting the stale table
-    assert(resumed == BpeSpark.trainMerges(docs, "text", 6))
+    val want = BpeSpark.trainMerges(docs, "text", 6)
+    assert(want != BpeSpark.trainMerges(otherCorpus, "text", 6),
+      "test setup: the two corpora must train different tables")
+    assert(resumed == want)
   }
 
   test("resume pins selection params and the nMerges ceiling") {

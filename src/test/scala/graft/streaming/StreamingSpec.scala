@@ -152,13 +152,7 @@ class StreamingSpec extends SparkTestBase {
       DocsStream.heavyHittersStream(spark, dir,
         Some("documents.parquet"), capacity = 4096, nShards = 8),
       "hh_stream", "update")
-    val got = streamed
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shard")
-          .orderBy(col("ver").desc)))
-      .where(col("rn") === 1)
-      .select(explode(col("counters")).as("c"))
-      .select(col("c._1"), col("c._2"), col("c._3"))
+    val got = DocsStream.latestShardCounters(streamed)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy { case (w, c, _) => (-c, w) }.take(20)
     val want = graft.operators.Sketches.heavyHitters(
@@ -190,13 +184,8 @@ class StreamingSpec extends SparkTestBase {
     // each shard emitted in BOTH triggers (sanity: this test exercises
     // cross-trigger state, so require more emissions than shards)
     assert(tbl.count() > tbl.select("shard").distinct().count())
-    val got = tbl
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shard")
-          .orderBy(col("ver").desc)))
-      .where(col("rn") === 1)
-      .select(explode(col("counters")).as("c"))
-      .select(col("c._1"), col("c._2"))
+    val got = DocsStream.latestShardCounters(tbl)
+      .select("word", "cnt")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = docs
       .select(explode(split(col("text"), " ")).as("w"))
