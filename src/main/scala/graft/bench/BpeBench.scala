@@ -106,6 +106,24 @@ object BpeBench {
       f"wall=$skippedS%.2f s (batch=$batch, " +
       f"${skipped.length.toDouble / skipRounds}%.1f merges/round, " +
       f"merge-set overlap with exact ${overlap(skipped)}/${exact.length})")
+    // optional 4th arg: checkpoint cadence — measures what the parquet
+    // durability of the prefix leg costs, and asserts it changes
+    // NOTHING about the learned table
+    if (args.length > 3 && args(3).toInt > 0) {
+      val every = args(3).toInt
+      val dir = java.nio.file.Files
+        .createTempDirectory("bpe-bench-ckpt").toString
+      val t3 = System.nanoTime()
+      val (ck, ckRounds) = BpeSpark.trainMergesBatched(docs, "text",
+        nMerges, batch, skipConflicts = false,
+        checkpointEvery = every, checkpointDir = dir)
+      val ckS = (System.nanoTime() - t3) / 1e9
+      require(ck == batched,
+        "checkpointing changed the learned merge table")
+      println(f"[bpe] prefix+ck merges=${ck.length} rounds=$ckRounds " +
+        f"wall=$ckS%.2f s (checkpoint every $every rounds; table " +
+        f"identical to prefix leg, overhead ${ckS - batchedS}%.2f s)")
+    }
     // scalastyle:on println
     spark.stop()
   }

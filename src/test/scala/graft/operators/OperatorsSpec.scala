@@ -133,6 +133,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.keySet.exists { case (a, b) => a == 0L && b == 3L })
   }
 
+  test("containment pairs == brute force on a random corpus (seeded)") {
+    // every candidate pair, threshold 0 — the operator's blocked
+    // shared-shingle join must reproduce the quadratic in-process
+    // reference exactly (same distinct-shingle boundary semantics,
+    // same double division), including the cross-source blocking
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 60L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      (id, Vector.fill(n)(s"w${rnd.nextInt(12)}").mkString(" "),
+        s"s${id % 3}")
+    }
+    def shingleSet(text: String): Set[String] = {
+      val w = text.split(' ')
+      (0 to math.max(w.length - 3, 0))
+        .map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val brute = (for {
+      (a, ta, sa) <- docs
+      (b, tb, sb) <- docs
+      if a < b && sa == sb
+      inter = (shingleSet(ta) intersect shingleSet(tb)).size
+      if inter > 0
+    } yield ((a, b), inter.toDouble /
+        math.min(shingleSet(ta).size, shingleSet(tb).size))).toMap
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text", "source"),
+        "text", "doc_id", "source", k = 3, threshold = 0.0)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size == brute.size, s"${got.size} vs ${brute.size} pairs")
+    assert(got == brute)
+  }
+
   // ---------------- similarity ----------------
 
   /** Clustered vectors (8 centers + small noise) — the data regime IVF is
