@@ -22,12 +22,15 @@ import os
 import duckdb
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
+    """One canonical permutation for values AND types — the positional
+    type compare is correct only because both use this same stable
+    sort, so the ordering lives in exactly one place."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(repr(r[i]) for i in order))
-    return sorted(out), [cols[i] for i in order]
+    return sorted(out), [cols[i] for i in order], [types[i] for i in order]
 
 
 def run_side(con, sql):
@@ -74,19 +77,13 @@ def main(sf_dir, out_dir, only=None, types_out=None):
             print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
             n_err += 1
             continue
-        dc, dcols = canon(d_rows, d_cols)
-        sc, scols = canon(s_rows, s_cols)
         # types are compared POSITIONALLY along the same canon column
-        # ordering the values use — a name-keyed dict would collapse
-        # duplicate column names to the last occurrence and compare only
-        # that one's type, contradicting run_side's duplicate-column
-        # rationale (round-5 advice)
-        d_ctypes = [d_types[i]
-                    for i in sorted(range(len(d_cols)),
-                                    key=lambda i: d_cols[i])]
-        s_ctypes = [s_types[i]
-                    for i in sorted(range(len(s_cols)),
-                                    key=lambda i: s_cols[i])]
+        # ordering the values use (canon returns both) — a name-keyed
+        # dict would collapse duplicate column names to the last
+        # occurrence and compare only that one's type, contradicting
+        # run_side's duplicate-column rationale (round-5 advice)
+        dc, dcols, d_ctypes = canon(d_rows, d_cols, d_types)
+        sc, scols, s_ctypes = canon(s_rows, s_cols, s_types)
         if dcols == scols:
             for i in range(len(dcols)):
                 audit.append((name, dcols[i], s_ctypes[i], d_ctypes[i]))

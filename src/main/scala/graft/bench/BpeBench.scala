@@ -98,13 +98,16 @@ object BpeBench {
     else ""
     println(f"[bpe] exact     merges=${exact.length} " +
       f"rounds=${exact.length} wall=$exactS%.2f s$capNote")
+    // same zero-merge guard as capNote: a corpus with no mergeable
+    // pairs runs 0 rounds and 0/0 would print NaN
+    def rate(m: Int, r: Int): Double = if (r == 0) 0.0 else m.toDouble / r
     println(f"[bpe] prefix    merges=${batched.length} rounds=$rounds " +
       f"wall=$batchedS%.2f s (batch=$batch, " +
-      f"${batched.length.toDouble / rounds}%.1f merges/round, " +
+      f"${rate(batched.length, rounds)}%.1f merges/round, " +
       f"merge-set overlap with exact ${overlap(batched)}/${exact.length})")
     println(f"[bpe] skip      merges=${skipped.length} rounds=$skipRounds " +
       f"wall=$skippedS%.2f s (batch=$batch, " +
-      f"${skipped.length.toDouble / skipRounds}%.1f merges/round, " +
+      f"${rate(skipped.length, skipRounds)}%.1f merges/round, " +
       f"merge-set overlap with exact ${overlap(skipped)}/${exact.length})")
     // optional 4th arg: checkpoint cadence — measures what the parquet
     // durability of the prefix leg costs, and asserts it changes

@@ -149,7 +149,7 @@ object BpeSpark {
     * FileSystem API instead. */
   def resumeMergesBatched(spark: SparkSession, checkpointDir: String,
       nMerges: Int, batchSize: Int, skipConflicts: Boolean = false,
-      checkpointEvery: Int = 0)
+      checkpointEvery: Int = InheritCadence)
       : (Vector[(Int, String, String, Long)], Int) = {
     import spark.implicits._
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
@@ -166,12 +166,25 @@ object BpeSpark {
       s"checkpoint $checkpointDir/r$r carries no params.txt (written by " +
         "a pre-params version?) — cannot validate selection semantics; " +
         "retrain rather than resume")
-    val params = new String(java.nio.file.Files.readAllBytes(paramsPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = new String(java.nio.file.Files.readAllBytes(paramsPath),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n')
     val expect = paramsLine(batchSize, skipConflicts)
-    require(params == expect,
-      s"checkpoint $checkpointDir/r$r was written with [$params] but " +
+    require(lines(0) == expect,
+      s"checkpoint $checkpointDir/r$r was written with [${lines(0)}] but " +
         s"resume was called with [$expect] — selection semantics differ")
+    // the cadence is durability policy, not selection semantics: the
+    // default INHERITS the checkpoint's recorded cadence, because the
+    // natural resume call dropping to 0 would silently disable further
+    // checkpointing — the next crash then loses ALL resumed work, the
+    // exact flaky-hardware scenario the feature exists for (third
+    // review pass). An explicit non-negative value overrides.
+    val recordedEvery = lines
+      .collectFirst { case l if l.startsWith("checkpointEvery=") =>
+        l.stripPrefix("checkpointEvery=").toInt }
+      .getOrElse(0)
+    val effectiveEvery =
+      if (checkpointEvery == InheritCadence) recordedEvery
+      else checkpointEvery
     val merges0 = spark.read
       .parquet(s"$checkpointDir/r$r/merges")
       .select("rank", "a", "b", "cnt")
@@ -187,9 +200,13 @@ object BpeSpark {
         .select("syms", "c")
         .as[(Vector[String], Long)]
       trainLoop(spark, vocab0, merges0, rounds0 = r, nMerges, batchSize,
-        skipConflicts, checkpointEvery, checkpointDir)
+        skipConflicts, effectiveEvery, checkpointDir)
     }
   }
+
+  /** Sentinel for [[resumeMergesBatched]]'s `checkpointEvery`: inherit
+    * the cadence recorded in the checkpoint being resumed. */
+  val InheritCadence: Int = -1
 
   private def committedRounds(dir: String): Seq[Int] =
     Option(new java.io.File(dir).listFiles())
@@ -267,7 +284,7 @@ object BpeSpark {
           rounds += 1
           if (checkpointEvery > 0 && rounds % checkpointEvery == 0)
             writeCheckpoint(spark, checkpointDir, rounds, vocab,
-              merges.result(), batchSize, skipConflicts)
+              merges.result(), batchSize, skipConflicts, checkpointEvery)
         }
       }
       (merges.result(), rounds)
@@ -277,7 +294,8 @@ object BpeSpark {
   private def writeCheckpoint(spark: SparkSession, dir: String, round: Int,
       vocab: Dataset[(Vector[String], Long)],
       merges: Vector[(Int, String, String, Long)],
-      batchSize: Int, skipConflicts: Boolean): Unit = {
+      batchSize: Int, skipConflicts: Boolean,
+      checkpointEvery: Int): Unit = {
     import spark.implicits._
     val base = s"$dir/r$round"
     // invalidate any stale commit of this round BEFORE rewriting its
@@ -291,7 +309,8 @@ object BpeSpark {
       .parquet(s"$base/merges")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(base, "params.txt"),
-      paramsLine(batchSize, skipConflicts)
+      (paramsLine(batchSize, skipConflicts) +
+        s"\ncheckpointEvery=$checkpointEvery")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // marker LAST: its presence means all three writes completed
     java.nio.file.Files.createFile(

@@ -48,34 +48,41 @@ object Round4Queries {
       // listing (name, length, mtime — part-file names carry a fresh
       // write UUID, so ANY regeneration moves the hash even inside one
       // mtime tick; same collision-closure as the single-file branch)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .sortBy(_.getName)
-        .foreach(c => md.update(
-          s"${c.getName}:${c.length}:${c.lastModified};"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      val h = md.digest().take(8).map("%02x".format(_)).mkString
+      val h = sha8 { md =>
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName)
+          .foreach(c => md.update(
+            s"${c.getName}:${c.length}:${c.lastModified};"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
       Some(s"dir:${f.lastModified}:$h")
     }
     else if (!f.isFile) None
     else {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val in = new java.io.RandomAccessFile(f, "r")
-      try {
-        val head = new Array[Byte](math.min(8192L, f.length).toInt)
-        in.readFully(head)
-        md.update(head)
-        if (f.length > 8192) {
-          val tail =
-            new Array[Byte](math.min(8192L, f.length - 8192).toInt)
-          in.seek(f.length - tail.length)
-          in.readFully(tail)
-          md.update(tail)
-        }
-      } finally in.close()
-      val h = md.digest().take(8).map("%02x".format(_)).mkString
+      val h = sha8 { md =>
+        val in = new java.io.RandomAccessFile(f, "r")
+        try {
+          val head = new Array[Byte](math.min(8192L, f.length).toInt)
+          in.readFully(head)
+          md.update(head)
+          if (f.length > 8192) {
+            val tail =
+              new Array[Byte](math.min(8192L, f.length - 8192).toInt)
+            in.seek(f.length - tail.length)
+            in.readFully(tail)
+            md.update(tail)
+          }
+        } finally in.close()
+      }
       Some(s"${f.length}:${f.lastModified}:$h")
     }
+  }
+  /** 8-byte-hex SHA-256 over whatever `feed` digests — the ONE encoding
+    * both fingerprint branches share, so width/format can't drift. */
+  private def sha8(feed: java.security.MessageDigest => Unit): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    feed(md)
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
   private[queries] def trainedMerges(s: SparkSession, d: String,
       nMerges: Int): Vector[(Int, String, String, Long)] = {

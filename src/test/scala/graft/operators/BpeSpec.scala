@@ -315,6 +315,12 @@ class BpeSpec extends SparkTestBase {
       nMerges = 10, batchSize = 1)
     val want = BpeSpark.trainMerges(docs, "text", 10)
     assert(resumed == want)
+    // the resumed run INHERITS the every-2 cadence by default — a
+    // resume that silently stopped checkpointing would lose all resumed
+    // work at the next crash (third review pass); rounds 8 and 10 must
+    // have committed
+    assert(new java.io.File(s"$dir/r10/_COMMIT").exists,
+      "resumed run did not keep checkpointing at the recorded cadence")
   }
 
   test("a fresh run invalidates a previous run's stale checkpoints") {
