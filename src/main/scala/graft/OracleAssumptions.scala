@@ -56,8 +56,8 @@ object OracleAssumptions {
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     if (nShingle != nHash) out += s"$dir: xxhash64 collision among " +
       s"distinct 3-shingles ($nShingle strings, $nHash hashes) — the " +
-      "q44 hashed-key candidate join would admit pairs the exact-string " +
-      "oracle rejects"
+      "q44/q106 hashed-key candidate join (shared shinglePairSizes " +
+      "machinery) would admit pairs the exact-string oracles reject"
 
     // q45's exact parameters: k=2 shingles, 64 hashes, 32 bands of 2
     val sigs = graft.operators.Dedup
