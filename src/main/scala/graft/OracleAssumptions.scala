@@ -88,6 +88,24 @@ object OracleAssumptions {
       "assumption (no counter eviction anywhere; q107's shards can only " +
       "shrink a summary's key space) is no longer safe"
 
+    // q105's oracle replays percentile_approx's exact regime as the
+    // element at rank ⌈q·n⌉ — valid only while (a) every lang group
+    // stays ≤ accuracy/2 = 5000 rows, below which the GK summary can
+    // never compress/merge a sample away, and (b) n_chars is exactly
+    // representable as DOUBLE (ApproximatePercentile round-trips
+    // values through Double — Round6Spec demonstrates the 2^62-rounding
+    // failure beyond 2^53)
+    val maxGroup = docs.groupBy("lang").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    if (maxGroup > 4999) out += s"$dir: largest lang group $maxGroup " +
+      "exceeds half the q105 accuracy (10000) — the GK no-compression " +
+      "exact-regime oracle assumption is no longer safe"
+    val bigChars = docs
+      .where(abs(col("n_chars")) > (1L << 53)).count()
+    if (bigChars > 0) out += s"$dir: $bigChars n_chars values beyond " +
+      "2^53 — percentile_approx round-trips through Double, so the " +
+      "q105 rank-formula oracle would compare rounded values"
+
     // q104 runs the same sketch over word BIGRAMS (rawShingles k=2,
     // the q92 gram expression) — its exact-regime oracle needs the
     // bigram vocabulary to fit the 4096 capacity with the same margin

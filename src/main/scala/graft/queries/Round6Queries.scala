@@ -43,10 +43,15 @@ object Round6Queries {
     // MERGEABLE bounded summary that partial-aggregates map-side, so at
     // corpus scale each group costs O(accuracy·log n) state instead of
     // the exact percentile's full per-group sort (q83 is the exact,
-    // oracled twin of this shape). Approximate-by-contract → rows-only
-    // check (q39 pattern) + Round6Spec pins the GK rank guarantee
-    // (|rank(returned) − q·n| ≤ n/accuracy, returned value ∈ group) and
-    // determinism against an exact in-process twin.
+    // oracled twin of this shape). DuckDB-ORACLED in the sketch's exact
+    // regime (the q103 pattern): with group sizes ≤ accuracy/2 the GK
+    // summary retains every sample (no compress/merge can fuse two
+    // weight-1 samples within the error budget) and double-exact values
+    // (both pinned per sf dir in OracleAssumptions), the result is
+    // EXACTLY the element at rank ⌈q·n⌉, which the oracle replays via
+    // row_number — equality spec-pinned on adversarial random corpora
+    // in Round6Spec, alongside the GK rank-guarantee bound that covers
+    // the approximate regime.
     "q105_quantile_sketch" -> ((s, d) =>
       documents(s, d).groupBy("lang").agg(
         count(lit(1)).as("n"),
@@ -112,6 +117,26 @@ object Round6Queries {
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(0 AS BIGINT) AS err
         |FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // exact-regime GK: the returned value is the element at rank
+    // ⌈q·n⌉ (1-indexed; licensed + caveated in Round6Spec's
+    // rank-formula spec, regimes pinned in OracleAssumptions). CEIL of
+    // a dyadic q times an integer is float-exact, and the CAST of its
+    // integral double to BIGINT is exact on both engines.
+    "q105_quantile_sketch" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+        |      THEN n_chars END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+        |      THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+        |      THEN n_chars END) AS p75
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     // mirrors the q44 oracle's candidate CTEs; only the final score
     // changes (containment i/min instead of jaccard i/(union))

@@ -41,6 +41,54 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("percentile_approx exact regime == element at rank ceil(q*n), " +
+      "random corpora") {
+    // the equality that LICENSES q105's DuckDB oracle (the q103
+    // pattern): below compression (n ≤ accuracy/2, pinned per sf dir in
+    // OracleAssumptions) the GK summary retains every sample — any
+    // compress/merge would need to fuse two weight-1 samples into
+    // weight 2 > 2·(n/accuracy), which the error budget forbids — so
+    // the returned value is exactly the ⌈q·n⌉-th smallest. Caveat this
+    // spec itself discovered: ApproximatePercentile round-trips values
+    // through DOUBLE, so the equality holds only for double-exact
+    // inputs (|v| ≤ 2^53 — Long.MaxValue/2 comes back rounded to 2^62);
+    // n_chars is tiny, and the pin in OracleAssumptions checks the
+    // range. Pinned here on seeded random groups with heavy ties,
+    // skew, negatives, 2^50-scale values, and size-1 groups.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 40).flatMap { g =>
+      val size = Seq(1, 2, 3, 7, 50, 311, 1024, 2999)(g % 8)
+      val gen: () => Long = g % 4 match {
+        case 0 => () => rnd.nextInt(5).toLong - 2      // heavy ties
+        case 1 => () => rnd.nextLong() % 1000000L      // spread
+        case 2 => () => math.abs(rnd.nextGaussian() * 10).toLong
+        case _ => () => if (rnd.nextBoolean()) 0L else 1L << 50
+      }
+      Vector.fill(size)((s"g$g", gen()))
+    }
+    val df = rows.toDF("grp", "v").repartition(7)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = df.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        qs.map(q => percentile_approx(col("v"), lit(q), lit(10000))
+          .as(s"p$q")): _*)
+      .collect()
+    val byGrp = rows.groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    got.foreach { r =>
+      val xs = byGrp(r.getString(0))
+      val n = r.getLong(1)
+      assert(n == xs.length)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val want = xs(math.max(0, math.ceil(q * n).toInt - 1))
+        assert(r.getLong(2 + i) == want,
+          s"${r.getString(0)} q=$q: spark ${r.getLong(2 + i)} vs " +
+            s"rank-formula $want (n=$n)")
+      }
+    }
+  }
+
   test("q105 is deterministic for fixed input") {
     val a = SparkEntry.queries("q105_quantile_sketch")(spark, sf)
       .collect().map(_.toSeq)
