@@ -50,4 +50,19 @@ class PlanAuditSpec extends SparkTestBase {
     // top-k compiles to TakeOrderedAndProject — no global sort at all
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("round-6 documents queries prune the scan to touched columns") {
+    // at 100 TB a corpus scan that reads `text` for a (lang, n_chars)
+    // aggregate reads ~1000× the bytes it needs — pruning must reach
+    // the parquet ReadSchema
+    val q105 = executedPlan("q105_quantile_sketch")
+    assert(!q105.contains("text") && !q105.contains("source"),
+      "q105 scan reads columns the aggregate never touches")
+    val q106 = executedPlan("q106_containment_neardup")
+    assert(!q106.contains("n_chars") && !q106.contains("lang"),
+      "q106 scan reads columns the pair scorer never touches")
+    // and the containment candidate join stays an equi-join
+    assert(!q106.contains("CartesianProduct") &&
+      !q106.contains("BroadcastNestedLoopJoin"), q106.take(1500))
+  }
 }
