@@ -123,6 +123,29 @@ class Round6Spec extends SparkTestBase {
     assert(jac.toSeq == Seq((10L, 20L, 0.25)))
   }
 
+  test("null text rows drop out of the round-6 operators without crashing") {
+    // the sf corpus guarantees non-null text (OracleAssumptions), but a
+    // production corpus does not — null rows must vanish (explode of a
+    // null token array emits nothing), never throw
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "a b c", "s"), Row(2L, null, "s"), Row(3L, "a b d", "s")),
+      schema)
+    val hh = graft.operators.Sketches.heavyHittersOf(docs,
+        split(col("text"), " "), capacity = 16, k = 5, itemCol = "word")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.toSeq ==
+      Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L), ("d", 1L, 0L)))
+    val cp = graft.operators.Dedup.containmentPairs(docs, "text",
+        "doc_id", "source", k = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cp.toSeq == Seq((1L, 3L, 0.5)))
+  }
+
   test("q102 output is flat and round-trips the token stream") {
     // the flattened string must carry exactly the encoded tokens (space
     // join is lossless: tokens are merges of space-split words, so they
