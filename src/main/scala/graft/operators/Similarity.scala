@@ -134,6 +134,52 @@ object Similarity {
   }
 
   /** Exact final top-k over the (small) candidate relation. */
+  /** Int8 scalar-quantized (SQ) cosine top-k — the memory-bound ANN
+    * technique: unit-normalize each vector and quantize every component
+    * to an integer code in [-127, 127] (floor(x/‖v‖·127 + 0.5); no
+    * clamp needed since |x| ≤ ‖v‖), then rank neighbors per query by
+    * the INTEGER dot product of the codes. At 100 TB the point is
+    * storage/bandwidth: a production deployment materializes the codes
+    * as 1-byte components — 4× less memory than float32, 4× more
+    * vectors per executor — and the integer dot is SIMD-friendly; this
+    * expression form keeps the whole path inside whole-stage codegen
+    * and, because the score is an exact integer (quantization is
+    * per-ROW float math only — no cross-row float reductions), the
+    * ranking replays bit-exactly in DuckDB, so unlike classic ANN the
+    * approximation itself is hash-ORACLED (q108). Ranking quality vs
+    * exact cosine is pinned by a recall spec. Zero-norm vectors cannot
+    * be normalized and are excluded from both sides (the q50 oracle's
+    * NULL-guard analog). */
+  def quantizedTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val idType = requireIntegralId(vectors, idCol, "quantizedTopK")
+    requireIntegralId(queries, idCol, "quantizedTopK (queries side)")
+    def codes(v: Column): Column = {
+      val nrm2 = aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      when(nrm2 === 0.0, lit(null))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") / sqrt(nrm2) * 127 + 0.5)))
+    }
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      codes(col(vecCol)).as("qcode")).where(col("qcode").isNotNull)
+    val v = vectors.select(col(idCol).cast("long").as("vec_id2"),
+      codes(col(vecCol)).as("vcode")).where(col("vcode").isNotNull)
+    val dotInt = aggregate(
+      zip_with(col("qcode"), col("vcode"), (x, y) => x * y),
+      lit(0L), (acc, d) => acc + d)
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("vec_id2") =!= col("query_id"))
+      // the integer dot (|dot| ≤ 127²·dim) is exactly representable as
+      // double, so the shared bounded-heap top-k machinery applies
+      .withColumn("cos", dotInt.cast("double"))
+      .select(col("query_id"), col("vec_id2"), col("cos"))
+    exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
+      .select(col("query_id").cast(idType).as("query_id"), col("rk"),
+        col("neighbor_id").cast(idType).as("neighbor_id"),
+        col("cos").cast("long").as("dot_q"))
+  }
+
   private def exactTopKPerQuery(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id2").asc)

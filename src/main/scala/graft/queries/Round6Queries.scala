@@ -84,6 +84,21 @@ object Round6Queries {
     // accumulates, the reader takes each shard's newest emission — so
     // unlike q87 no single-batch requirement (two-trigger equality
     // pinned in StreamingSpec).
+    // Int8 scalar-quantized cosine top-k: the memory-bound ANN path —
+    // codes are 1 byte/component in production (4× more vectors per
+    // executor than float32), ranking by INTEGER code dot. Because
+    // quantization involves only per-ROW float math, the integer
+    // ranking replays bit-exactly in DuckDB: the rare ANN whose
+    // approximation is itself hash-ORACLED (vs q53's IVF, whose oracle
+    // replays the probe but whose quality needs a recall spec — q108
+    // carries BOTH). Same query set as q50, whose exact ranking is the
+    // recall reference in Round6Spec.
+    "q108_quantized_topk" -> ((s, d) =>
+      graft.operators.Similarity.quantizedTopK(embeddings(s, d),
+          embeddings(s, d).where(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5)
+        .orderBy("query_id", "rk")),
+
     "q107_stream_heavy_hitters" -> ((s, d) => {
       val src = new java.io.File(s"$d/documents.parquet")
       val stream =
@@ -160,6 +175,35 @@ object Round6Queries {
         |           JOIN sz sb ON inter.b = sb.doc_id
         |WHERE i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE >= 0.10
         |ORDER BY a, b""".stripMargin,
+
+    // the whole quantize→integer-dot→rank path replayed: per-row norm
+    // (left-fold sum of squares, the q50-proven list_aggregate order),
+    // floor(x/‖v‖·127+0.5) codes, integer dot, (dot desc, id asc) rank
+    "q108_quantized_topk" ->
+      """WITH nv AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(n2) * 127 + 0.5)
+        |        AS BIGINT)) AS code
+        |  FROM nv WHERE n2 <> 0),
+        |q AS (SELECT vec_id AS query_id, code AS qcode
+        |      FROM qz WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    CAST(list_aggregate(list_transform(list_zip(q.qcode, v.code),
+        |      p -> p[1] * p[2]), 'sum') AS BIGINT) AS dot_q
+        |  FROM qz v, q WHERE v.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dot_q, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY dot_q DESC, neighbor_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dot_q
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     // exact streaming regime == exact counting: LITERALLY q103's oracle
     // (licensed by the same vocab-fits-capacity pin — sharding can only

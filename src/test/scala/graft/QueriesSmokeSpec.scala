@@ -61,11 +61,13 @@ class QueriesSmokeSpec extends SparkTestBase {
     *   - q53: IVF assignment — data × broadcast ONE-ROW centroid array
     *     (the probe join is an equi-join on cell_id, not counted here)
     *   - q91: TF-IDF — (doc, term) counts × broadcast ONE-ROW corpus size
+    *   - q108: quantized scorer — data × the same broadcast 8-row query
+    *     set as q50
     */
   test("BroadcastNestedLoopJoin appears ONLY in the pinned cross-join set") {
     assume(plans.size == SparkEntry.queries.size, "needs all plans recorded")
     val expected = Set("q36_watermark_filter", "q50_cosine_topk",
-      "q53_ivf_topk", "q91_tfidf")
+      "q53_ivf_topk", "q91_tfidf", "q108_quantized_topk")
     val got = plans.filter(_._2.contains("BroadcastNestedLoopJoin"))
       .keySet.toSet
     assert(got == expected,

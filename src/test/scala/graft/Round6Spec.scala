@@ -146,6 +146,43 @@ class Round6Spec extends SparkTestBase {
     assert(cp.toSeq == Seq((1L, 3L, 0.5)))
   }
 
+  test("q108 quantization codes and integer dots: hand-checked formula") {
+    // (3,4): norm 5 → codes (floor(.6·127+.5), floor(.8·127+.5)) =
+    // (76, 102); (6,8) normalizes identically → dot 76²+102² = 16180;
+    // (4,−3) → codes (102, −76) → orthogonal dot exactly 0
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def df(rows: (Long, Seq[Float])*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, v) =>
+        Row(i, v) }: _*), schema)
+    val got = graft.operators.Similarity.quantizedTopK(
+        df(2L -> Seq(6f, 8f), 3L -> Seq(4f, -3f)),
+        df(1L -> Seq(3f, 4f)), "vec_id", "embedding", k = 2)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1, 2L, 16180L), (1L, 2, 3L, 0L)))
+  }
+
+  test("q108 int8 ranking recalls the exact cosine top-5") {
+    // the quality leg the hash oracle can't see: per-query recall vs
+    // q50's exact ranking — measured 1.0 at sf0.001 AND sf0.01 (16-dim
+    // unit vectors quantize nearly losslessly at 8 bits); pinned at
+    // ≥ 0.8 to allow genuine near-tie flips without masking a break
+    def topSets(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(2)).toSet }
+    val exact = topSets("q50_cosine_topk")
+    val quant = topSets("q108_quantized_topk")
+    assert(exact.keySet == quant.keySet)
+    exact.foreach { case (g, ex) =>
+      val recall = (ex intersect quant(g)).size.toDouble / ex.size
+      assert(recall >= 0.8, s"query $g recall $recall (exact $ex vs " +
+        s"quantized ${quant(g)})")
+    }
+  }
+
   test("q102 output is flat and round-trips the token stream") {
     // the flattened string must carry exactly the encoded tokens (space
     // join is lossless: tokens are merges of space-split words, so they
