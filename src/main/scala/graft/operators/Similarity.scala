@@ -134,6 +134,14 @@ object Similarity {
   }
 
   /** Exact final top-k over the (small) candidate relation. */
+  private def exactTopKPerQuery(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id2").asc)
+    cands.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** Int8 scalar-quantized (SQ) cosine top-k — the memory-bound ANN
     * technique: unit-normalize each vector and quantize every component
     * to an integer code in [-127, 127] (floor(x/‖v‖·127 + 0.5); no
@@ -141,30 +149,50 @@ object Similarity {
     * the INTEGER dot product of the codes. At 100 TB the point is
     * storage/bandwidth: a production deployment materializes the codes
     * as 1-byte components — 4× less memory than float32, 4× more
-    * vectors per executor — and the integer dot is SIMD-friendly; this
-    * expression form keeps the whole path inside whole-stage codegen
-    * and, because the score is an exact integer (quantization is
-    * per-ROW float math only — no cross-row float reductions), the
-    * ranking replays bit-exactly in DuckDB, so unlike classic ANN the
+    * vectors per executor — and the integer dot is SIMD-friendly;
+    * because the score is an exact integer (quantization is per-ROW
+    * float math only — no cross-row float reductions), the ranking
+    * replays bit-exactly in DuckDB, so unlike classic ANN the
     * approximation itself is hash-ORACLED (q108). Ranking quality vs
-    * exact cosine is pinned by a recall spec. Zero-norm vectors cannot
-    * be normalized and are excluded from both sides (the q50 oracle's
-    * NULL-guard analog). */
+    * exact cosine is pinned by a recall spec. A vector whose norm is
+    * zero or incomputable (null vector / null component) cannot be
+    * normalized and is excluded from both sides. Quantization runs as
+    * a narrow TYPED map (the minhash shape): an expression form cannot
+    * compute the norm once per row — CollapseProject inlines a
+    * single-referenced norm column back INTO the transform lambda,
+    * re-running the O(d) fold per COMPONENT (verified on the optimized
+    * plan; the repo's documented per-row-quadratic scale bug, found by
+    * the fourth review pass) — while the typed map is explicit O(d)
+    * per row and the same IEEE double ops keep the oracle bit-exact. */
   def quantizedTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val idType = requireIntegralId(vectors, idCol, "quantizedTopK")
-    requireIntegralId(queries, idCol, "quantizedTopK (queries side)")
-    def codes(v: Column): Column = {
-      val nrm2 = aggregate(v, lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
-      when(nrm2 === 0.0, lit(null))
-        .otherwise(transform(v,
-          x => floor(x.cast("double") / sqrt(nrm2) * 127 + 0.5)))
-    }
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      codes(col(vecCol)).as("qcode")).where(col("qcode").isNotNull)
-    val v = vectors.select(col(idCol).cast("long").as("vec_id2"),
-      codes(col(vecCol)).as("vcode")).where(col("vcode").isNotNull)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vIdType = requireIntegralId(vectors, idCol, "quantizedTopK")
+    // the output query_id is cast back with the QUERIES side's own id
+    // type — casting with the vectors side's (narrower) type would
+    // silently wrap wide query ids
+    val qIdType =
+      requireIntegralId(queries, idCol, "quantizedTopK (queries side)")
+    def codes(df: DataFrame, outId: String, outCode: String): DataFrame =
+      df.where(col(vecCol).isNotNull &&
+          forall(col(vecCol), x => x.isNotNull))
+        .select(col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions(_.flatMap { case (id, vec) =>
+          var s = 0.0
+          var i = 0
+          while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
+          if (s == 0.0) None
+          else {
+            val n = math.sqrt(s)
+            Some((id, vec.map(x => math.floor(x / n * 127 + 0.5).toLong)))
+          }
+        })
+        .toDF(outId, outCode)
+    val q = codes(queries, "query_id", "qcode")
+    val v = codes(vectors, "vec_id2", "vcode")
     val dotInt = aggregate(
       zip_with(col("qcode"), col("vcode"), (x, y) => x * y),
       lit(0L), (acc, d) => acc + d)
@@ -175,17 +203,9 @@ object Similarity {
       .withColumn("cos", dotInt.cast("double"))
       .select(col("query_id"), col("vec_id2"), col("cos"))
     exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
-      .select(col("query_id").cast(idType).as("query_id"), col("rk"),
-        col("neighbor_id").cast(idType).as("neighbor_id"),
+      .select(col("query_id").cast(qIdType).as("query_id"), col("rk"),
+        col("neighbor_id").cast(vIdType).as("neighbor_id"),
         col("cos").cast("long").as("dot_q"))
-  }
-
-  private def exactTopKPerQuery(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id2").asc)
-    cands.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id2").as("neighbor_id"),
-        col("cos"))
   }
 
   /** Deterministic random hyperplanes (nBits × dim), seeded. */
