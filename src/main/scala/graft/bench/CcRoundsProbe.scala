@@ -20,14 +20,17 @@ object CcRoundsProbe {
       .select(col("c_custkey").cast("long").as("k"))
     val chains = graft.queries.PipelineQueries.chainEdges(c)
     val bridged = graft.queries.PipelineQueries.bridgedChainEdges(c)
+    // same-window A/B of the two round stores (default localCheckpoint
+    // vs durable parquet) — interleaved so box noise hits both legs
     for ((name, e) <- Seq("q63-chains" -> chains, "q88-bridged" -> bridged);
-         trial <- 1 to 2) {
+         trial <- 1 to 2; durable <- Seq(false, true)) {
       val t0 = System.nanoTime()
-      val h = ConnectedComponents.runManaged(spark, e)
+      val h = ConnectedComponents.runManaged(spark, e, durable = durable)
       val n = h.labels.count()
       val w = (System.nanoTime() - t0) / 1e9
+      val store = if (durable) "parquet" else "localckpt"
       // scalastyle:off println
-      println(f"[ccprobe] $name%-12s trial=$trial rounds=${h.rounds} nodes=$n wall=$w%.2f s")
+      println(f"[ccprobe] $name%-12s $store%-9s trial=$trial rounds=${h.rounds} nodes=$n wall=$w%.2f s")
       // scalastyle:on println
       h.close()
     }

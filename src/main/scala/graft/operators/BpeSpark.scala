@@ -77,7 +77,7 @@ object BpeSpark {
       // merge table built so far is plain driver data, so a caller can
       // resume by replaying merges onto a fresh vocab); a production
       // 30–50k-merge run on flaky hardware would parquet-checkpoint
-      // every ~100 rounds instead (the CC persistRound pattern).
+      // every ~100 rounds instead (the CC durable-round-store pattern).
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val m = ds.localCheckpoint(eager = true)
       // Dataset exposes no handle to its checkpoint blocks, so free the

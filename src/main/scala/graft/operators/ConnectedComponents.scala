@@ -22,17 +22,27 @@ import org.apache.spark.storage.StorageLevel
   *     partitioning instead of re-shuffling per round. (On a real cluster,
   *     bucket-write the symmetrized edge table once for the same effect
   *     with spill-to-disk durability.)
-  *   - per-round persistence is a PARQUET round-trip into a per-run temp
-  *     dir: it truncates lineage like a reliable checkpoint and makes a
-  *     multi-hour fixpoint restartable, but computes each round's plan
-  *     exactly ONCE (Dataset.checkpoint materializes the RDD and then
-  *     recomputes it to write the checkpoint files — 2× work per round,
-  *     the main q63 overhead in round 1).
-  *   - the convergence count reads the just-written (label-granularity,
-  *     tiny) parquet — it never re-executes the round's join.
-  *   - round n-1's files are deleted as soon as round n lands; the whole
-  *     run dir is removed by a JVM shutdown hook (the final round's files
-  *     back the returned DataFrame, so they must outlive this call).
+  *   - per-round persistence truncates lineage (a driver-loop operator
+  *     otherwise grows plan + RDD dependency chain per round — the
+  *     RoundVocab lesson in BpeSpark.scala) and computes each round's
+  *     plan exactly ONCE. Two interchangeable stores:
+  *       default  — `localCheckpoint(eager)`: blocks stay in the block
+  *                  manager in tungsten format; NO parquet encode/decode,
+  *                  no filesystem round-trip, no per-round read-back job
+  *                  setup. This is the in-session shape (three rounds of
+  *                  driver-side q63 flares traced to the fixed per-round
+  *                  parquet+dispatch cost amplifying box noise — r4–r6).
+  *       durable  — parquet round-trip into a per-run temp dir: survives
+  *                  executor/block loss, makes a multi-hour production
+  *                  fixpoint restartable. (Dataset.checkpoint would
+  *                  compute each round twice — materialize + re-read —
+  *                  hence parquet, not reliable checkpoint.)
+  *   - the convergence count piggybacks on the materialization pass via
+  *     an accumulator — it never re-executes the round's join.
+  *   - round n-1's storage is freed as soon as round n lands; whatever
+  *     backs the FINAL round outlives this call (it backs the returned
+  *     DataFrame) and is freed by CcHandle.close() or, for durable runs,
+  *     the JVM shutdown sweep.
   *   - hub skew: the neighbor-min uses groupBy(min), which does map-side
   *     partial aggregation — a degree-10^4 hub collapses to one row per
   *     input partition before the shuffle, so no salting is needed on the
@@ -44,7 +54,7 @@ object ConnectedComponents {
   import graft.core.Fs.deleteRecursively
 
   /** ONE JVM shutdown hook for all runs (repeated run() calls in a
-    * long-lived driver must not accumulate hook threads); each run
+    * long-lived driver must not accumulate hook threads); each durable run
     * registers its temp dir here and the hook sweeps whatever remains. */
   private val pendingDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
@@ -54,56 +64,112 @@ object ConnectedComponents {
     true
   }
 
-  /** Result handle: `labels` is backed by the final round's parquet files
-    * in the run's temp dir. A caller that has FULLY consumed the labels
-    * (collected them, or written them elsewhere) should call `close()` to
-    * free the temp disk immediately instead of waiting for the JVM
-    * shutdown sweep — a long-lived driver running many fixpoints would
-    * otherwise accumulate one final-round directory per run. The DataFrame
-    * must not be used after close(). Idempotent. */
+  /** Per-round persistence. `persist` materializes the round eagerly,
+    * returns a LINEAGE-CUT DataFrame, and frees the previous round's
+    * storage; `releaseFinal` frees whatever backs the last persisted
+    * round (idempotent — it implements CcHandle.close). */
+  private sealed trait RoundStore {
+    def persist(df: DataFrame, round: Int): DataFrame
+    def releaseFinal(): Unit
+  }
+
+  /** In-session store: `localCheckpoint(eager)` keeps rounds as tungsten
+    * blocks — no parquet encode/decode or fs round-trip per round. The
+    * checkpoint blocks belong to the RDD inside the returned Dataset's
+    * `LogicalRDD` leaf, so track THAT — a registry diff around the
+    * checkpoint (BpeSpark's RoundVocab technique) is ambiguous here
+    * because the fixpoint's intra-round caches (step1/jt/e) register
+    * their own RDDs lazily DURING the same materialization job.
+    * Previous-round frees are non-blocking (the next round is already
+    * materialized); the final free blocks so close() is deterministic. */
+  private final class LocalStore(spark: SparkSession) extends RoundStore {
+    private var last: Option[org.apache.spark.rdd.RDD[_]] = None
+    def persist(df: DataFrame, round: Int): DataFrame = {
+      val m = df.localCheckpoint(eager = true)
+      val ck = m.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      last.foreach(_.unpersist(blocking = false))
+      // a miss (plan shape change in a future Spark) leaks to the
+      // ContextCleaner when the Dataset is GC'd — never a wrong unpersist
+      last = ck
+      m
+    }
+    def releaseFinal(): Unit = {
+      last.foreach(_.unpersist(blocking = true))
+      last = None
+    }
+  }
+
+  /** Durable store: one parquet directory per round in a per-run temp
+    * dir — survives block loss, restartable, swept at JVM shutdown if the
+    * caller never closes. The production choice for multi-hour fixpoints
+    * on flaky hardware. */
+  private final class ParquetStore(spark: SparkSession) extends RoundStore {
+    val runDir: java.io.File =
+      java.nio.file.Files.createTempDirectory("graft-cc").toFile
+    require(hookInstalled)
+    pendingDirs.add(runDir)
+    private var prevName: Option[String] = None
+    def persist(df: DataFrame, round: Int): DataFrame = {
+      val name = s"round_$round"
+      val path = new java.io.File(runDir, name).getAbsolutePath
+      df.write.mode("overwrite").parquet(path)
+      prevName.foreach(n => deleteRecursively(new java.io.File(runDir, n)))
+      prevName = Some(name)
+      spark.read.parquet(path)
+    }
+    def releaseFinal(): Unit = {
+      pendingDirs.remove(runDir)
+      deleteRecursively(runDir)
+    }
+  }
+
+  /** Result handle: `labels` is backed by the final round's storage
+    * (block-manager blocks by default; parquet files for durable runs). A
+    * caller that has FULLY consumed the labels (collected them, or written
+    * them elsewhere) should call `close()` to free that storage
+    * immediately instead of waiting for GC / the JVM shutdown sweep — a
+    * long-lived driver running many fixpoints would otherwise accumulate
+    * one final-round footprint per run. The DataFrame must not be used
+    * after close(). Idempotent. */
   final class CcHandle private[ConnectedComponents] (
-      val labels: DataFrame, dir: java.io.File,
+      val labels: DataFrame, store: RoundStore,
       /** fixpoint rounds actually executed (incl. the final no-change
         * round) — the per-round job cost dominates small graphs, so this
         * is the number to watch when a topology gets slower */
       val rounds: Int) {
-    def close(): Unit = {
-      pendingDirs.remove(dir)
-      deleteRecursively(dir)
-    }
+    def close(): Unit = store.releaseFinal()
   }
 
   /** @param edges DataFrame with long columns `src`, `dst`
+    * @param durable true = parquet rounds (restartable, survives block
+    *   loss); false (default) = localCheckpoint rounds (fastest in-session
+    *   shape). Labels are identical either way.
     * @return DataFrame (node LONG, comp LONG), comp = min id in component.
-    *   Backing temp files live until JVM shutdown; use `runManaged` to
-    *   reclaim them earlier. */
+    *   Backing storage lives until GC/JVM shutdown; use `runManaged` to
+    *   reclaim it earlier. */
   def run(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50): DataFrame =
-    runManaged(spark, edges, maxIter).labels
+      maxIter: Int = 50, durable: Boolean = false): DataFrame =
+    runManaged(spark, edges, maxIter, durable).labels
 
-  /** As `run`, returning a handle whose close() frees the run's temp dir
-    * once the caller has fully consumed the labels. */
+  /** As `run`, returning a handle whose close() frees the run's backing
+    * storage once the caller has fully consumed the labels. */
   def runManaged(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50): CcHandle = {
+      maxIter: Int = 50, durable: Boolean = false): CcHandle = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val runDir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
-    require(hookInstalled)
-    pendingDirs.add(runDir)
-    def persistRound(df: DataFrame, name: String): DataFrame = {
-      val path = new java.io.File(runDir, name).getAbsolutePath
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    val store: RoundStore =
+      if (durable) new ParquetStore(spark) else new LocalStore(spark)
 
     val raw = edges.selectExpr("CAST(src AS BIGINT) AS u",
       "CAST(dst AS BIGINT) AS v")
     // every endpoint is a node (self-loops contribute a node, no edge)
-    var labels = persistRound(
+    var labels = store.persist(
       raw.select(col("u").as("node"))
         .unionByName(raw.select(col("v").as("node")))
         .distinct()
         .withColumn("comp", col("node")),
-      "round_0")
+      0)
     // symmetrize once; self-loops dropped; hash-partitioned by the per-round
     // join key and cached so rounds never re-shuffle the big side
     val e = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
@@ -114,10 +180,9 @@ object ConnectedComponents {
 
     var iter = 0
     var changed = 1L
-    var prevName = "round_0"
     // the current round's intra-round caches, visible to the finally so a
-    // mid-round failure (e.g. the checkpoint write throwing) frees them
-    // too — not just the edge cache
+    // mid-round failure (e.g. the round materialization throwing) frees
+    // them too — not just the edge cache
     var roundCaches: Seq[DataFrame] = Nil
     try {
     while (changed > 0 && iter < maxIter) {
@@ -131,7 +196,7 @@ object ConnectedComponents {
       // reference (measured: q63 6.4 → 22-66 s in the full bench when the
       // cached edge blocks start evicting; at 10^12 edges a 3× edge join
       // per round is the difference between the plan and 3× the plan).
-      // Node-granularity rows, freed right after the round's parquet lands.
+      // Node-granularity rows, freed right after the round materializes.
       val step1 = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("comp").as("oldComp"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp1"))
@@ -171,7 +236,7 @@ object ConnectedComponents {
       // shortens pointer chains by another label lookup per round, so a
       // length-L chain converges in ~log3(L) instead of ~log2(L) rounds.
       // One extra node-granularity join per round buys one FEWER round —
-      // i.e. one fewer checkpoint write + job dispatch, the dominant
+      // i.e. one fewer round materialization + job dispatch, the dominant
       // per-round fixed cost both here and on a real cluster. Correctness
       // is unchanged by 1b/2/3: labels only ever decrease, and every
       // adopted label (a neighbor's comp, a member's comp1, a jump target)
@@ -184,28 +249,25 @@ object ConnectedComponents {
           least(col("comp2"), coalesce(col("jumped2"), col("comp2")))
             .as("comp"))
       iter += 1
-      val name = s"round_$iter"
-      // convergence count piggybacks on the write pass via an accumulator:
-      // ONE Spark job per round instead of write + count. A retried task
-      // can only double-count real changes (rows recompute
-      // deterministically), so `changed` may overshoot but is never a
-      // false zero — worst case is one extra (no-op) iteration.
+      // convergence count piggybacks on the materialization pass via an
+      // accumulator: ONE Spark job per round instead of materialize +
+      // count. A retried task can only double-count real changes (rows
+      // recompute deterministically), so `changed` may overshoot but is
+      // never a false zero — worst case is one extra (no-op) iteration.
       val changeAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       import spark.implicits._
       val counted = step3.as[(Long, Long, Long)].map { row =>
         if (row._2 != row._3) changeAcc.add(1L)
         row
       }.toDF("node", "oldComp", "comp")
-      val round = persistRound(counted, name)
+      val round = store.persist(counted, iter)
       changed = changeAcc.value
-      // the round's parquet now holds everything downstream needs — free
+      // the round's storage now holds everything downstream needs — free
       // the intra-round caches before the next round allocates its own
       step1.unpersist(blocking = false)
       jt.unpersist(blocking = false)
       roundCaches = Nil
       labels = round.select("node", "comp")
-      deleteRecursively(new java.io.File(runDir, prevName))
-      prevName = name
     }
     } finally {
       // release everything cached even when a round throws — a failed
@@ -216,14 +278,13 @@ object ConnectedComponents {
     }
     // a fixpoint that exits on maxIter has MULTIPLE labels inside some
     // component — silently returning them would poison every downstream
-    // join/canonicalization; free the run dir and fail loudly instead
+    // join/canonicalization; free the run's storage and fail loudly instead
     if (changed != 0) {
-      pendingDirs.remove(runDir)
-      deleteRecursively(runDir)
+      store.releaseFinal()
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
     }
-    new CcHandle(labels, runDir, iter)
+    new CcHandle(labels, store, iter)
   }
 }

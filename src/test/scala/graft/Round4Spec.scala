@@ -91,15 +91,16 @@ class Round4Spec extends SparkTestBase {
       .map(_.getName).toSet
   }
 
-  test("CcHandle.close frees its own dir; a second live handle survives") {
+  test("durable CcHandle.close frees its own dir; a second live handle " +
+      "survives") {
     import spark.implicits._
     val e1 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val e2 = Seq((10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
     val before = ccTmpDirs()
-    val h1 = ConnectedComponents.runManaged(spark, e1)
+    val h1 = ConnectedComponents.runManaged(spark, e1, durable = true)
     val dirs1 = ccTmpDirs() -- before
     assert(dirs1.size == 1, s"expected one new run dir, got $dirs1")
-    val h2 = ConnectedComponents.runManaged(spark, e2)
+    val h2 = ConnectedComponents.runManaged(spark, e2, durable = true)
     val dirs2 = ccTmpDirs() -- before -- dirs1
     assert(dirs2.size == 1)
     h1.close()
@@ -112,6 +113,24 @@ class Round4Spec extends SparkTestBase {
     h1.close() // idempotent
     h2.close()
     assert((ccTmpDirs() -- before).isEmpty)
+  }
+
+  test("default (localCheckpoint) CC run writes no temp dir and matches " +
+      "the durable run's labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val before = ccTmpDirs()
+    val h = ConnectedComponents.runManaged(spark, edges)
+    val got = h.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ccTmpDirs() == before,
+      "non-durable fixpoint must not touch the filesystem")
+    val hd = ConnectedComponents.runManaged(spark, edges, durable = true)
+    val want = hd.labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    hd.close()
+    h.close()
+    assert(got == want)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
   // ---------------- queries-side id guard ----------------

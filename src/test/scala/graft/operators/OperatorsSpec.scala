@@ -62,7 +62,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
     h.close()
     h.close() // idempotent
-    // the final round's parquet is gone: re-executing the labels must fail
+    // the final round's checkpoint blocks are gone (lineage was cut, so
+    // nothing can recompute them): re-executing the labels must fail
     intercept[Exception] { h.labels.count() }
   }
 
