@@ -37,10 +37,21 @@ object OracleAssumptions {
     if (badName > 0) out += s"$dir: $badName c_name values outside the " +
       "q58 XXH64 oracle's sub-32-byte ASCII scope"
 
-    val badDim = spark.read.parquet(s"$dir/embeddings.parquet")
-      .where(size(col("embedding")) =!= 64).count()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val badDim = emb.where(size(col("embedding")) =!= 64).count()
     if (badDim > 0) out += s"$dir: $badDim non-64-dim embeddings " +
       "(q52's embedded hyperplanes assume dim 64)"
+
+    // q108's Spark side excludes vectors with ANY null component (they
+    // cannot be normalized), but its DuckDB oracle only drops n2 = 0 —
+    // DuckDB's list_aggregate('sum') IGNORES null elements, so a vector
+    // with some null components would keep a partial norm and stay in
+    // the oracle's ranking while Spark drops it (ADVICE r6)
+    val nullComp = emb.where(col("embedding").isNull ||
+      exists(col("embedding"), x => x.isNull)).count()
+    if (nullComp > 0) out += s"$dir: $nullComp embeddings with null " +
+      "components — the q108 oracle's list_aggregate norm would keep " +
+      "vectors the Spark side excludes as unnormalizable"
 
     // q44/q45 candidate joins key on 64-bit hashes while their DuckDB
     // oracles join on the exact shingle strings / band slices: equality

@@ -142,65 +142,81 @@ object Similarity {
         col("cos"))
   }
 
+  /** Int8 code table: (id LONG, code BINARY) — one SIGNED byte per
+    * component, floor(x/‖v‖·127 + 0.5) ∈ [-127, 127] (no clamp needed
+    * since |x| ≤ ‖v‖). This is where the memory claim of scalar
+    * quantization is actually realized: the code column materializes at
+    * 1 byte/component (Array[Byte] encodes as BinaryType — a flat byte
+    * blob in tungsten rows and in parquet), vs 4 for the float32
+    * embedding and 8 + ArrayData overhead for the ARRAY<BIGINT> form
+    * the HOF-based dot used to force (measured: SqMemProbe). A vector
+    * whose norm is zero or incomputable (null vector / null component)
+    * cannot be normalized and is excluded — pinned against the q108
+    * oracle by the no-null-components probe in OracleAssumptions.
+    * Quantization runs as a narrow TYPED map (the minhash shape): an
+    * expression form cannot compute the norm once per row —
+    * CollapseProject inlines a single-referenced norm column back INTO
+    * the transform lambda, re-running the O(d) fold per COMPONENT
+    * (verified on the optimized plan; the repo's documented
+    * per-row-quadratic scale bug) — while the typed map is explicit
+    * O(d) per row and the same IEEE double ops keep the oracle
+    * bit-exact. */
+  private[graft] def quantizeCodes(df: DataFrame, idCol: String,
+      vecCol: String, outId: String, outCode: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(vecCol).isNotNull &&
+        forall(col(vecCol), x => x.isNotNull))
+      .select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        var s = 0.0
+        var i = 0
+        while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
+        if (s == 0.0) None
+        else {
+          val n = math.sqrt(s)
+          Some((id,
+            vec.map(x => math.floor(x / n * 127 + 0.5).toByte)))
+        }
+      })
+      .toDF(outId, outCode)
+  }
+
   /** Int8 scalar-quantized (SQ) cosine top-k — the memory-bound ANN
     * technique: unit-normalize each vector and quantize every component
-    * to an integer code in [-127, 127] (floor(x/‖v‖·127 + 0.5); no
-    * clamp needed since |x| ≤ ‖v‖), then rank neighbors per query by
-    * the INTEGER dot product of the codes. At 100 TB the point is
-    * storage/bandwidth: a production deployment materializes the codes
-    * as 1-byte components — 4× less memory than float32, 4× more
-    * vectors per executor — and the integer dot is SIMD-friendly;
-    * because the score is an exact integer (quantization is per-ROW
-    * float math only — no cross-row float reductions), the ranking
-    * replays bit-exactly in DuckDB, so unlike classic ANN the
-    * approximation itself is hash-ORACLED (q108). Ranking quality vs
-    * exact cosine is pinned by a recall spec. A vector whose norm is
-    * zero or incomputable (null vector / null component) cannot be
-    * normalized and is excluded from both sides. Quantization runs as
-    * a narrow TYPED map (the minhash shape): an expression form cannot
-    * compute the norm once per row — CollapseProject inlines a
-    * single-referenced norm column back INTO the transform lambda,
-    * re-running the O(d) fold per COMPONENT (verified on the optimized
-    * plan; the repo's documented per-row-quadratic scale bug, found by
-    * the fourth review pass) — while the typed map is explicit O(d)
-    * per row and the same IEEE double ops keep the oracle bit-exact. */
+    * to a signed-byte code (`quantizeCodes`), then rank neighbors per
+    * query by the INTEGER dot product of the code blobs
+    * (`Int8DotProduct`, a codegen'd Catalyst expression over BINARY —
+    * one primitive loop, no per-row allocation). At 100 TB the point
+    * is storage/bandwidth: codes are 1 byte/component, so an executor
+    * holds 4× more vectors than float32 (measured bytes/vector in
+    * SqMemProbe; recorded in BASELINE.md), and the integer dot is
+    * SIMD-friendly; because the score is an exact integer
+    * (quantization is per-ROW float math only — no cross-row float
+    * reductions), the ranking replays bit-exactly in DuckDB, so unlike
+    * classic ANN the approximation itself is hash-ORACLED (q108).
+    * Ranking quality vs exact cosine is pinned by recall specs — on
+    * the sf corpora (recall 1.0) AND on a near-tie synth corpus where
+    * quantization demonstrably flips the ranking (Round7Spec). */
   def quantizedTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val vIdType = requireIntegralId(vectors, idCol, "quantizedTopK")
     // the output query_id is cast back with the QUERIES side's own id
     // type — casting with the vectors side's (narrower) type would
     // silently wrap wide query ids
     val qIdType =
       requireIntegralId(queries, idCol, "quantizedTopK (queries side)")
-    def codes(df: DataFrame, outId: String, outCode: String): DataFrame =
-      df.where(col(vecCol).isNotNull &&
-          forall(col(vecCol), x => x.isNotNull))
-        .select(col(idCol).cast("long"),
-          col(vecCol).cast("array<double>"))
-        .as[(Long, Array[Double])]
-        .mapPartitions(_.flatMap { case (id, vec) =>
-          var s = 0.0
-          var i = 0
-          while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
-          if (s == 0.0) None
-          else {
-            val n = math.sqrt(s)
-            Some((id, vec.map(x => math.floor(x / n * 127 + 0.5).toLong)))
-          }
-        })
-        .toDF(outId, outCode)
-    val q = codes(queries, "query_id", "qcode")
-    val v = codes(vectors, "vec_id2", "vcode")
-    val dotInt = aggregate(
-      zip_with(col("qcode"), col("vcode"), (x, y) => x * y),
-      lit(0L), (acc, d) => acc + d)
+    val q = quantizeCodes(queries, idCol, vecCol, "query_id", "qcode")
+    val v = quantizeCodes(vectors, idCol, vecCol, "vec_id2", "vcode")
     val scored = v.crossJoin(broadcast(q))
       .where(col("vec_id2") =!= col("query_id"))
       // the integer dot (|dot| ≤ 127²·dim) is exactly representable as
       // double, so the shared bounded-heap top-k machinery applies
-      .withColumn("cos", dotInt.cast("double"))
+      .withColumn("cos",
+        graft.functions.Int8DotProduct(col("qcode"), col("vcode"))
+          .cast("double"))
       .select(col("query_id"), col("vec_id2"), col("cos"))
     exactTopKPerQuery(partialTopKPerPartition(scored, k), k)
       .select(col("query_id").cast(qIdType).as("query_id"), col("rk"),

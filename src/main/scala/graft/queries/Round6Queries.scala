@@ -85,8 +85,9 @@ object Round6Queries {
     // unlike q87 no single-batch requirement (two-trigger equality
     // pinned in StreamingSpec).
     // Int8 scalar-quantized cosine top-k: the memory-bound ANN path —
-    // codes are 1 byte/component in production (4× more vectors per
-    // executor than float32), ranking by INTEGER code dot. Because
+    // codes materialize as BINARY at 1 byte/component (measured
+    // 69 bytes/vector cached vs 277 float32 — 4.0×; SqMemProbe),
+    // ranking by INTEGER code dot (Int8DotProduct codegen). Because
     // quantization involves only per-ROW float math, the integer
     // ranking replays bit-exactly in DuckDB: the rare ANN whose
     // approximation is itself hash-ORACLED (vs q53's IVF, whose oracle
