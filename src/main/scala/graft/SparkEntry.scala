@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Round3Queries.queries ++
       graft.queries.Round4Queries.queries ++
       graft.queries.Round5Queries.queries ++
-      graft.queries.Round6Queries.queries
+      graft.queries.Round6Queries.queries ++
+      graft.queries.Round7Queries.queries
 
   /** DuckDB equivalents for every SQL-expressible query; omitted keys get
     * the driver's weaker rows-only check (generated-input / fixpoint /
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Round3Queries.oracles ++
       graft.queries.Round4Queries.oracles ++
       graft.queries.Round5Queries.oracles ++
-      graft.queries.Round6Queries.oracles
+      graft.queries.Round6Queries.oracles ++
+      graft.queries.Round7Queries.oracles
 }

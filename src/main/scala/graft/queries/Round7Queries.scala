@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.operators.{ConnectedComponents, Dedup}
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: the dedup ACTION a curation pipeline actually runs.
+  * Rounds 3–6 built the pair detectors (q44/q45/q46/q106); q109 composes
+  * the containment pairs with the CC fixpoint into duplicate CLUSTERS and
+  * elects a canonical survivor per cluster — the "drop all but one"
+  * operator, where transitivity matters because near-dup relations chain
+  * (A quotes B, B quotes C: one cluster, one survivor, even when (A, C)
+  * itself scores below threshold).
+  */
+object Round7Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // Containment-dedup clusters: q106's pairs as edges → connected
+    // components (the q63 fixpoint operator — double pointer-jump,
+    // map-side-combined neighbor-min, lineage-cut rounds) → per-cluster
+    // canonical = min doc_id (exactly the CC label), keep = is-canonical,
+    // csize = cluster population. Docs in NO pair are absent: they are
+    // implicitly kept, and at corpus scale materializing "not a dup" for
+    // 10^12 docs would dwarf the dup set itself. Both building blocks
+    // are independently hash-oracled (q106 pairs, q63/q88 closure), and
+    // the composition is oracled end-to-end here via the pair CTEs +
+    // WITH RECURSIVE closure.
+    "q109_containment_clusters" -> ((s, d) => {
+      val pairs = Dedup.containmentPairs(documents(s, d), "text",
+        "doc_id", "source", k = 3, threshold = 0.10)
+      val labels = ConnectedComponents.run(s,
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      labels.select(col("node").as("doc_id"), col("comp").as("canon"),
+          (col("node") === col("comp")).as("keep"),
+          count(lit(1)).over(Window.partitionBy(col("comp")))
+            .as("csize"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // q106's candidate CTEs (same shingle/containment replay), then the
+    // q63-style WITH RECURSIVE min-label closure over the pair edges.
+    // The expensive CTEs are MATERIALIZED: DuckDB re-evaluates inlined
+    // CTEs on every reference, and `sym` is referenced once per
+    // RECURSION STEP — without the barrier the whole shingle self-join
+    // would replay each iteration (the q71 CTE-explosion lesson).
+    "q109_containment_clusters" ->
+      """WITH RECURSIVE
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, source, list_distinct([
+        |    array_to_string(words[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(words) - 2, 1) + 1)]) AS shingles
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |inter AS MATERIALIZED (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+        |  FROM ex l JOIN ex r ON l.shingle = r.shingle
+        |    AND l.source = r.source AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON inter.a = sa.doc_id
+        |  JOIN sz sb ON inter.b = sb.doc_id
+        |  WHERE i::DOUBLE / least(sa.nsh, sb.nsh)::DOUBLE >= 0.10),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM pairs
+        |  UNION SELECT b AS u, a AS v FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.u, rr.r FROM sym s JOIN reach rr ON s.v = rr.node),
+        |lab AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+        |SELECT node AS doc_id, comp AS canon, (node = comp) AS keep,
+        |  COUNT(*) OVER (PARTITION BY comp) AS csize
+        |FROM lab ORDER BY doc_id""".stripMargin)
+}
