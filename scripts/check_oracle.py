@@ -25,7 +25,15 @@ import duckdb
 def canon(rows, cols, types):
     """One canonical permutation for values AND types — the positional
     type compare is correct only because both use this same stable
-    sort, so the ordering lives in exactly one place."""
+    sort, so the ordering lives in exactly one place.
+
+    Known limitation (ADVICE r6): with DUPLICATE column names on both
+    sides, the stable sort pairs duplicates by each side's original
+    relative order — if Spark and DuckDB emit them in different orders
+    the compare can be spurious either way. No query emits duplicate
+    names (QueriesSmokeSpec's flat-schema fence plus per-query aliasing
+    keep names unique); if that ever changes, pair by
+    (name, occurrence index) here first."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:

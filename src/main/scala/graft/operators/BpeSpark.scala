@@ -307,15 +307,48 @@ object BpeSpark {
       .parquet(s"$base/vocab")
     merges.toDF("rank", "a", "b", "cnt").write.mode("overwrite")
       .parquet(s"$base/merges")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(base, "params.txt"),
+    writeSynced(java.nio.file.Paths.get(base, "params.txt"),
       (paramsLine(batchSize, skipConflicts) +
         s"\ncheckpointEvery=$checkpointEvery")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // marker LAST: its presence means all three writes completed
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(base, "_COMMIT"))
+    // marker LAST, and durably: the ordering alone only guards process
+    // kills — on OS crash/power loss an unflushed marker could become
+    // visible over unflushed checkpoint data (ADVICE r6), so the
+    // params/marker bytes are fsynced (FileChannel.force) and the round
+    // directory entry is fsynced after marker creation. The parquet
+    // payload itself is flushed by Hadoop's LocalFileSystem on stream
+    // close; a marker that survives a machine crash while a parquet
+    // page didn't will surface as a read error on resume, which the
+    // loader treats as fall-back-one-cadence — never silent corruption.
+    writeSynced(java.nio.file.Paths.get(base, "_COMMIT"),
+      Array.emptyByteArray)
+    syncDir(java.nio.file.Paths.get(base))
   }
+
+  /** Write bytes and force them (and the file's metadata) to the storage
+    * device before returning — checkpoint markers must not outrun their
+    * payload through the page cache. */
+  private def writeSynced(p: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(bytes))
+      ch.force(true)
+    } finally ch.close()
+  }
+
+  /** fsync a directory so a just-created entry (the _COMMIT marker)
+    * survives an OS crash. Some filesystems refuse opening a directory
+    * for sync (notably on Windows) — best-effort there, matching every
+    * production WAL implementation. */
+  private def syncDir(p: java.nio.file.Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Default bound on the per-partition word→tokens encode cache: ~1M
     * distinct words comfortably fits an executor core's share of memory

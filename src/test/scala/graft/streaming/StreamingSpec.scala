@@ -193,4 +193,71 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming heavy hitters under EVICTION: bounded state + " +
+      "Space-Saving guarantees across triggers") {
+    // the regime nothing exercised through the state store before
+    // (VERDICT r6 residual 2): shard vocab ≫ capacity, so every trigger
+    // evicts — and between triggers the summary java-serialization
+    // round-trips through the state store, exactly where the @transient
+    // derived-index bug class lives. Synthetic skewed corpus: ~2000
+    // distinct words over capacity 64 × 2 shards.
+    import spark.implicits._
+    val rng = new graft.core.Rng(0x57E4A11L)
+    val docs = (0 until 400).map { i =>
+      val words = Seq.fill(30) {
+        // product-of-uniforms skew: low word ids are heavy hitters
+        val w = (rng.nextInt(2000).toLong * rng.nextInt(2000)) / 2000
+        s"w$w"
+      }
+      (i.toLong, words.mkString(" "), "en", "synth",
+        words.map(_.length + 1L).sum - 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream7").toString
+    val capacity = 64
+    docs.where(col("doc_id") < 200)
+      .write.mode("append").parquet(s"$tmp/docs")
+    val q = DocsStream.heavyHittersStream(spark, s"$tmp/docs", None,
+        capacity = capacity, nShards = 2)
+      .writeStream.format("memory").queryName("hh_evict")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    docs.where(col("doc_id") >= 200)
+      .write.mode("append").parquet(s"$tmp/docs")
+    q.processAllAvailable()
+    q.stop()
+    val tbl = spark.table("hh_evict")
+    // both shards emitted in both triggers — eviction state really did
+    // round-trip the store between adds
+    assert(tbl.count() == 4, s"expected 2 shards x 2 triggers: ${tbl.count()}")
+    // capacity cap holds per shard after multiple evicting triggers
+    val sizes = tbl.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("ver").desc)))
+      .where(col("rn") === 1)
+      .select(size(col("counters")).as("n")).collect().map(_.getInt(0))
+    assert(sizes.length == 2 && sizes.forall(_ == capacity),
+      s"per-shard summaries must sit AT capacity under eviction: " +
+        sizes.toSeq)
+    // Space-Saving guarantee vs batch truth: est - err <= true <= est
+    // for every surviving counter (truth per word is shard-local
+    // because sharding partitions the key space)
+    val truth = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survivors = DocsStream.latestShardCounters(tbl)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(survivors.length == 2 * capacity)
+    survivors.foreach { case (w, est, err) =>
+      val t = truth(w)
+      assert(t <= est && est - err <= t,
+        s"$w: true $t outside [est-err, est] = [${est - err}, $est]")
+    }
+    // the regime is genuinely lossy: far more distinct words than
+    // surviving counters, and at least one survivor overestimates
+    assert(truth.size > 4 * capacity)
+    assert(survivors.exists { case (w, est, _) => est > truth(w) },
+      "no overestimated survivor — eviction never actually displaced " +
+        "a counter, so this corpus is not in the eviction regime")
+  }
 }
