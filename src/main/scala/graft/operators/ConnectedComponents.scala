@@ -71,6 +71,11 @@ object ConnectedComponents {
   private sealed trait RoundStore {
     def persist(df: DataFrame, round: Int): DataFrame
     def releaseFinal(): Unit
+    /** Called instead of releaseFinal when the fixpoint gives up
+      * (maxIter). Default: free everything. A caller-owned resumable
+      * store overrides to KEEP its files — the committed rounds are
+      * exactly what lets the caller resume with a higher maxIter. */
+    def abandon(): Unit = releaseFinal()
   }
 
   /** In-session store: `localCheckpoint(eager)` keeps rounds as tungsten
@@ -101,16 +106,24 @@ object ConnectedComponents {
     }
   }
 
-  /** Durable store: one parquet directory per round in a per-run temp
-    * dir — survives block loss, restartable, swept at JVM shutdown if the
-    * caller never closes. The production choice for multi-hour fixpoints
-    * on flaky hardware. */
-  private final class ParquetStore(spark: SparkSession) extends RoundStore {
-    val runDir: java.io.File =
-      java.nio.file.Files.createTempDirectory("graft-cc").toFile
-    require(hookInstalled)
-    pendingDirs.add(runDir)
-    private var prevName: Option[String] = None
+  /** Durable store: one parquet directory per round under `runDir` —
+    * survives block loss, restartable, the production choice for
+    * multi-hour fixpoints on flaky hardware. Two ownership modes:
+    * anonymous temp dirs (runManaged(durable=true)) are swept at JVM
+    * shutdown if the caller never closes; caller-owned dirs
+    * ([[resumableRun]]) are deliberately NOT swept — the directory IS
+    * the crash checkpoint, deleted only by an explicit close() once the
+    * labels are consumed. `prev` seeds the delete-previous chain when
+    * resuming (the seed round's files are freed as soon as the first
+    * new round commits). */
+  private final class ParquetStore(spark: SparkSession,
+      val runDir: java.io.File, sweepAtShutdown: Boolean,
+      prev: Option[String]) extends RoundStore {
+    if (sweepAtShutdown) {
+      require(hookInstalled)
+      pendingDirs.add(runDir)
+    }
+    private var prevName: Option[String] = prev
     def persist(df: DataFrame, round: Int): DataFrame = {
       val name = s"round_$round"
       val path = new java.io.File(runDir, name).getAbsolutePath
@@ -123,6 +136,14 @@ object ConnectedComponents {
       pendingDirs.remove(runDir)
       deleteRecursively(runDir)
     }
+    override def abandon(): Unit = if (sweepAtShutdown) releaseFinal()
+  }
+
+  private object ParquetStore {
+    def temp(spark: SparkSession): ParquetStore =
+      new ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-cc").toFile,
+        sweepAtShutdown = true, prev = None)
   }
 
   /** Result handle: `labels` is backed by the final round's storage
@@ -150,41 +171,135 @@ object ConnectedComponents {
     *   Backing storage lives until GC/JVM shutdown; use `runManaged` to
     *   reclaim it earlier. */
   def run(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50, durable: Boolean = false): DataFrame =
-    runManaged(spark, edges, maxIter, durable).labels
+      maxIter: Int = 50, durable: Boolean = false,
+      smallGraphThreshold: Long = 0L): DataFrame =
+    runManaged(spark, edges, maxIter, durable, smallGraphThreshold).labels
 
   /** As `run`, returning a handle whose close() frees the run's backing
-    * storage once the caller has fully consumed the labels. */
+    * storage once the caller has fully consumed the labels.
+    * @param smallGraphThreshold when > 0 and BOTH the measured distinct
+    *   symmetrized edge count and node count come in at or under it,
+    *   skip the distributed fixpoint and run the in-repo UnionFind on
+    *   the driver (labels bit-identical — UnionFind is the fixpoint's
+    *   own spec oracle; handle.rounds = 0 signals the path taken). The
+    *   same move Spark makes broadcasting a small join side: measure
+    *   first, then pick the plan — the collect is gated by the measured
+    *   counts, so driver memory is bounded by construction (~32 MB at
+    *   the 1M-edge default callers use). The win is real even locally:
+    *   a ~5-round fixpoint costs ~10 job dispatches however tiny the
+    *   graph; a dedup-cluster graph (q109) is pair-bounded and usually
+    *   small even when the corpus is not. 0 (the default) disables —
+    *   q63/q88 keep exercising the distributed path unconditionally. */
   def runManaged(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 50, durable: Boolean = false): CcHandle = {
-    val parts = spark.sessionState.conf.numShufflePartitions
+      maxIter: Int = 50, durable: Boolean = false,
+      smallGraphThreshold: Long = 0L): CcHandle = {
     val store: RoundStore =
-      if (durable) new ParquetStore(spark) else new LocalStore(spark)
+      if (durable) ParquetStore.temp(spark) else new LocalStore(spark)
+    fixpoint(spark, edges, maxIter, store, seed = None, smallGraphThreshold)
+  }
 
+  /** Crash-resumable fixpoint in a CALLER-OWNED checkpoint dir — the
+    * north-rule resume contract, for fixpoints long enough that
+    * restarting from scratch is the real cost of an executor-loss or
+    * driver crash. On start, the newest COMMITTED round under `dir`
+    * (subdir `round_N` whose `_SUCCESS` marker the parquet job commit
+    * wrote — a killed mid-write round has no marker and is ignored,
+    * then overwritten) seeds the labels and the round counter; absent
+    * any committed round this is a fresh durable run rooted at `dir`.
+    *
+    * Resuming from ANY committed round is correct, not just the last
+    * one before a crash: every persisted labeling is a monotone
+    * contraction state (each label is the id of a node in the same
+    * component, labels only ever decrease), and the recurrence applied
+    * to any such state converges to the same min-id-per-component
+    * fixpoint — so a lost trailing round costs rounds, never
+    * correctness (spec-pinned against the fresh run's labels).
+    *
+    * `maxIter` counts TOTAL rounds including the resumed prefix (the
+    * round counter continues from N). close() deletes the whole dir —
+    * call it only once the labels are consumed; crash before close()
+    * and the next resumableRun picks up from the last commit. */
+  def resumableRun(spark: SparkSession, edges: DataFrame, dir: String,
+      maxIter: Int = 50): CcHandle = {
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    val committed = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("round_\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getName.stripPrefix("round_").toInt)
+    val seed = committed.sorted.lastOption.map { n =>
+      (spark.read.parquet(new java.io.File(root, s"round_$n").getPath)
+        .select("node", "comp"), n)
+    }
+    val store = new ParquetStore(spark, root, sweepAtShutdown = false,
+      prev = seed.map { case (_, n) => s"round_$n" })
+    fixpoint(spark, edges, maxIter, store, seed, smallGraph = 0L)
+  }
+
+  private def fixpoint(spark: SparkSession, edges: DataFrame,
+      maxIter: Int, store: RoundStore,
+      seed: Option[(DataFrame, Int)], smallGraph: Long): CcHandle = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+
+    // the input edge plan appears FOUR times below (both legs of the
+    // node union, both legs of the symmetrize union) and Spark does not
+    // dedupe common subplans — fine when `edges` is a parquet scan
+    // (q63/q88), but when it is an expensive derivation (q109 feeds the
+    // whole containment-pair join in here) init would execute it 4×
+    // (measured: q109 14.0 s in the r7 bench vs ~6.5 s with the cache).
+    // Cache it for init only: edge-granularity, freed as soon as the
+    // symmetrized/cached `e` is materialized below.
     val raw = edges.selectExpr("CAST(src AS BIGINT) AS u",
       "CAST(dst AS BIGINT) AS v")
-    // every endpoint is a node (self-loops contribute a node, no edge)
-    var labels = store.persist(
-      raw.select(col("u").as("node"))
-        .unionByName(raw.select(col("v").as("node")))
-        .distinct()
-        .withColumn("comp", col("node")),
-      0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = seed.map(_._2).getOrElse(0)
+    var changed = 1L
+    // caches visible to the finally so ANY failure — init actions
+    // included — frees them, not just mid-round ones
+    var labels: DataFrame = null
+    var e: DataFrame = null
+    var roundCaches: Seq[DataFrame] = Nil
+    try {
     // symmetrize once; self-loops dropped; hash-partitioned by the per-round
     // join key and cached so rounds never re-shuffle the big side
-    val e = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
+    e = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
       .repartition(parts, col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var iter = 0
-    var changed = 1L
-    // the current round's intra-round caches, visible to the finally so a
-    // mid-round failure (e.g. the round materialization throwing) frees
-    // them too — not just the edge cache
-    var roundCaches: Seq[DataFrame] = Nil
-    try {
+    // materialize e NOW (round 1 would have paid this anyway): the raw
+    // cache can then be dropped before the fixpoint holds two edge-scale
+    // caches at once, and the count doubles as the small-graph gate
+    val nEdges = e.count()
+    if (smallGraph > 0 && seed.isEmpty && nEdges <= smallGraph) {
+      val nodesDf = raw.select(col("u").as("n"))
+        .unionByName(raw.select(col("v").as("n"))).distinct()
+      // nodes can exceed edges (self-loop-only nodes) — gate BOTH
+      // measured counts before collecting anything
+      if (nodesDf.count() <= smallGraph) {
+        val uf = new graft.core.UnionFind
+        nodesDf.as[Long].collect().foreach(uf.add)
+        e.select(col("u"), col("v")).as[(Long, Long)].collect()
+          .foreach { case (a, b) => uf.union(a, b) }
+        val lbl = uf.components().toSeq.sortBy(_._1).toDF("node", "comp")
+        // the labels are a LocalRelation — nothing distributed backs
+        // them; close() still frees whatever the store allocated (the
+        // resumable dir / temp dir; a LocalStore holds nothing yet)
+        return new CcHandle(lbl, store, 0)
+      }
+    }
+    // every endpoint is a node (self-loops contribute a node, no edge);
+    // a resumed run starts from the seed round's labels instead (already
+    // lineage-cut: a fresh parquet read)
+    labels = seed.map(_._1).getOrElse(store.persist(
+      raw.select(col("u").as("node"))
+        .unionByName(raw.select(col("v").as("node")))
+        .distinct()
+        .withColumn("comp", col("node")),
+      0))
+    raw.unpersist(blocking = false)
     while (changed > 0 && iter < maxIter) {
       // 1. neighbor-min: comp of v flows to u (map-side combine on groupBy)
       val nbrMin = e.join(labels.withColumnRenamed("node", "v"), Seq("v"))
@@ -272,15 +387,19 @@ object ConnectedComponents {
     } finally {
       // release everything cached even when a round throws — a failed
       // fixpoint must not pin MEMORY_AND_DISK blocks for the session
-      // (the edge set AND any current-round intermediates)
+      // (the input cache, the edge set AND any current-round
+      // intermediates; unpersist is idempotent on the success path)
+      raw.unpersist(blocking = false)
       roundCaches.foreach(_.unpersist(blocking = false))
-      e.unpersist(blocking = false)
+      if (e != null) e.unpersist(blocking = false)
     }
     // a fixpoint that exits on maxIter has MULTIPLE labels inside some
     // component — silently returning them would poison every downstream
     // join/canonicalization; free the run's storage and fail loudly instead
     if (changed != 0) {
-      store.releaseFinal()
+      // resumable stores keep their committed rounds (resume with a
+      // higher maxIter); everything else is freed
+      store.abandon()
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")

@@ -31,8 +31,15 @@ object Round7Queries {
     "q109_containment_clusters" -> ((s, d) => {
       val pairs = Dedup.containmentPairs(documents(s, d), "text",
         "doc_id", "source", k = 3, threshold = 0.10)
+      // smallGraphThreshold: a dup-PAIR graph is usually tiny even when
+      // the corpus is not — when the measured edge/node counts come in
+      // under 1M the operator runs its own UnionFind oracle on the
+      // driver (bit-identical labels, ~32 MB bound) instead of paying
+      // ~10 job dispatches of distributed fixpoint on a toy graph; a
+      // bigger dup graph automatically takes the distributed path
       val labels = ConnectedComponents.run(s,
-        pairs.select(col("a").as("src"), col("b").as("dst")))
+        pairs.select(col("a").as("src"), col("b").as("dst")),
+        smallGraphThreshold = 1L << 20)
       labels.select(col("node").as("doc_id"), col("comp").as("canon"),
           (col("node") === col("comp")).as("keep"),
           count(lit(1)).over(Window.partitionBy(col("comp")))

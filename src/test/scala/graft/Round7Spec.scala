@@ -136,4 +136,86 @@ class Round7Spec extends SparkTestBase {
     // JDKs — a tight floor would pin platform luck, not the kernel
     assert(recall >= 0.4, s"recall@5 $recall below floor on $quant")
   }
+
+  // ---------------- resumable CC fixpoint (north-rule resume) ---------
+
+  private def chainEdges(n: Int) = {
+    import spark.implicits._
+    (1 until n).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+  }
+
+  test("small-graph fast path: UnionFind labels bit-identical to the " +
+      "distributed fixpoint, incl. self-loop-only nodes") {
+    import spark.implicits._
+    // two chains, a triangle, a self-loop-only node, duplicate +
+    // reversed edges (exercises the distinct/symmetrize front end)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 20L), (1L, 2L)).toDF("src", "dst")
+    val small = graft.operators.ConnectedComponents
+      .runManaged(spark, edges, smallGraphThreshold = 1000L)
+    assert(small.rounds == 0, "threshold 1000 must take the driver path")
+    val dist = graft.operators.ConnectedComponents
+      .runManaged(spark, edges)
+    assert(dist.rounds > 0, "threshold 0 must take the distributed path")
+    def m(h: graft.operators.ConnectedComponents.CcHandle) =
+      h.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (sm, dm) = (m(small), m(dist))
+    small.close(); dist.close()
+    assert(sm == dm)
+    assert(sm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("resumableRun: fresh run matches runManaged; close deletes the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccr").toString
+    val edges = chainEdges(12)
+    val h = graft.operators.ConnectedComponents
+      .resumableRun(spark, edges, dir)
+    val got = h.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = {
+      val m = graft.operators.ConnectedComponents.runManaged(spark, edges)
+      val w = m.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      m.close(); w
+    }
+    assert(got == want)
+    assert(got == (1 to 12).map(i => i.toLong -> 1L).toMap)
+    h.close()
+    assert(!new java.io.File(dir).exists(),
+      "close() must delete the consumed checkpoint dir")
+  }
+
+  test("resumableRun: maxIter abandon KEEPS the checkpoint; a second " +
+      "call resumes from the last committed round and converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccr2").toString
+    val edges = chainEdges(30)
+    // phase 1: give up after 2 rounds — the abandoned run must leave its
+    // last committed round in place (that is the point of resumability;
+    // a temp-dir durable run would have freed everything here)
+    val ex = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents
+        .resumableRun(spark, edges, dir, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val kept = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getName)
+    assert(kept.toSeq == Seq("round_2"),
+      s"exactly the last committed round survives abandon: ${kept.toSeq}")
+    // a crash mid-write leaves an UNcommitted round dir — resume must
+    // ignore it (no _SUCCESS) and seed from round_2
+    val junk = new java.io.File(dir, "round_9")
+    junk.mkdirs()
+    java.nio.file.Files.write(junk.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // phase 2: resume — round counter continues (rounds > 2), labels
+    // converge to the same fixpoint a fresh run produces
+    val h = graft.operators.ConnectedComponents
+      .resumableRun(spark, edges, dir)
+    assert(h.rounds > 2, s"resume must continue the round counter, " +
+      s"got ${h.rounds}")
+    val got = h.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1 to 30).map(i => i.toLong -> 1L).toMap)
+    h.close()
+    assert(!new java.io.File(dir).exists())
+  }
 }
