@@ -36,7 +36,17 @@ import org.apache.spark.storage.StorageLevel
   *                  executor/block loss, makes a multi-hour production
   *                  fixpoint restartable. (Dataset.checkpoint would
   *                  compute each round twice — materialize + re-read —
-  *                  hence parquet, not reliable checkpoint.)
+  *                  hence parquet, not reliable checkpoint.) With a
+  *                  caller-owned dir ([[resumableRun]]) the rounds double
+  *                  as a CRASH checkpoint: a new process reseeds from the
+  *                  last committed round.
+  *   - the input edge plan is cached during init only: it is referenced
+  *     4× (node union + symmetrize union) and Spark does not dedupe
+  *     common subplans — an expensive upstream derivation (q109's
+  *     containment pairs) would otherwise execute once per reference.
+  *   - tiny graphs can skip the fixpoint entirely: see
+  *     `smallGraphThreshold` on [[runManaged]] (measured-count-gated
+  *     driver UnionFind, bit-identical labels).
   *   - the convergence count piggybacks on the materialization pass via
   *     an accumulator — it never re-executes the round's join.
   *   - round n-1's storage is freed as soon as round n lands; whatever
