@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative / combinatorial graph analytics over DataFrame edge lists —
+  * the KG-side operators a construction pipeline runs AFTER the triples
+  * exist: entity importance (PageRank) and local graph density (triangle
+  * counts / clustering coefficient). Companion to the CC fixpoint
+  * (ConnectedComponents.scala); the reference mount was empty (SURVEY.md
+  * §0), so semantics are anchored to the published algorithms and the
+  * DuckDB oracles, not to reference file:line.
+  *
+  * Both operators are deliberately ORACLE-EXACT, which for graph
+  * analytics takes two design moves:
+  *
+  *   - PageRank runs in 64-bit FIXED-POINT integer arithmetic (ranks are
+  *     BIGINT multiples of 1/scale). Double-precision PageRank cannot be
+  *     hash-compared across engines: the per-node inflow SUM is
+  *     order-dependent in IEEE doubles and Spark's partial-aggregation
+  *     order varies run to run. Integer sums are associative and
+  *     commutative EXACTLY, so the whole fixpoint replays bit-identically
+  *     in any engine — the same trick production systems use to make
+  *     ranking jobs deterministic (and the q103/q105 exact-regime move,
+  *     applied to iteration instead of sketching).
+  *   - Triangle counting is orientation-invariant: the Spark side orients
+  *     edges by (degree, id) to bound the wedge fan-out, the DuckDB
+  *     oracle orients by id only (a < b < c) — both enumerate each
+  *     triangle exactly once, so the per-node counts agree even though
+  *     the join trees differ completely.
+  */
+object Graphs {
+
+  // ------------------------------------------------------------------
+  // PageRank (fixed-point integer arithmetic, fixed iteration count)
+  // ------------------------------------------------------------------
+
+  /** Fixed-point PageRank over a directed edge list.
+    *
+    * Semantics (mirrored EXACTLY by the unrolled SQL oracle):
+    *   - edges are distinct (src, dst) pairs, self-loops dropped;
+    *   - n = |nodes| (every endpoint), init = scale div n,
+    *     base = (15 * init) div 100;
+    *   - per iteration: contrib(u→v) = rank(u) div outdeg(u),
+    *     inflow(v) = Σ contrib (exact BIGINT sum),
+    *     rank'(v) = base + (85 * inflow(v)) div 100;
+    *   - `iters` synchronous iterations; dangling mass (nodes with no
+    *     out-edges) leaks, as in the classic power-iteration formulation
+    *     without a dangling-redistribution term — deterministic, and at
+    *     web scale the redistribution term is a scalar broadcast anyway.
+    * All quantities stay non-negative, so Spark's `div` (truncation
+    * toward zero) and DuckDB's `//` (floor) agree on every division.
+    * Overflow headroom: total mass ≤ scale = 10^12, so 85 * inflow ≤
+    * 8.5e13 ≪ 2^63.
+    *
+    * Scale shape (the part that matters at 10^12 edges):
+    *   - edges are distinct-ed and hash-partitioned by src ONCE and
+    *     cached; outdeg is derived from that same partitioning (no extra
+    *     shuffle) and cached at node granularity; nodes likewise. Each
+    *     of the three is referenced once per iteration and Spark does
+    *     not dedupe common subplans — uncached, a 5-iteration run would
+    *     execute the edge derivation 10+ times (the q109/CC init lesson).
+    *   - each iteration is ONE shuffle (the groupBy(dst) inflow
+    *     aggregate, with map-side partial sums); the rank join runs on
+    *     the src partitioning the edge cache already has. That per-round
+    *     single shuffle IS PageRank's irreducible communication.
+    *   - hub in-degree skew collapses map-side (partial sums per
+    *     partition before the shuffle), the same argument as the CC
+    *     neighbor-min; no salting needed on the aggregate.
+    *   - the fixed iteration count keeps the whole run ONE linear
+    *     Catalyst plan (each rank_k referenced exactly once by
+    *     rank_{k+1}) — no per-round materialization is needed at k ≤ ~8;
+    *     the final ranks are localCheckpoint'ed so the caches can be
+    *     freed before returning (a production run at higher k would
+    *     switch to the CC RoundStore pattern).
+    *
+    * @param edges DataFrame with castable-to-long `src`, `dst`
+    * @return (node BIGINT, rank BIGINT), rank in units of 1/scale */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val e = edges
+      .selectExpr("CAST(src AS BIGINT) AS src", "CAST(dst AS BIGINT) AS dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // derived FROM the src partitioning — groupBy(src) reuses it, no shuffle
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank on an empty graph")
+      val init = scale / n
+      val base = (15L * init) / 100L
+
+      var ranks = nodes.withColumn("rank", lit(init))
+      for (_ <- 1 to iters) {
+        val inflow = e.join(deg, Seq("src"))
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            expr("rank div outdeg").as("contrib"))
+          .groupBy("node").agg(sum(col("contrib")).as("inflow"))
+        ranks = nodes.join(inflow, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + expr(s"(85 * coalesce(inflow, 0L)) div 100"))
+              .as("rank"))
+      }
+      // one action materializes the whole 5-iteration plan; the
+      // checkpoint blocks back the returned DataFrame so the input
+      // caches can be freed NOW instead of pinning edge-scale storage
+      // for the caller's lifetime
+      ranks.localCheckpoint(eager = true)
+    } finally {
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Triangle counting / local clustering coefficient
+  // ------------------------------------------------------------------
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph given as an edge list (either direction, dups OK).
+    *
+    * Algorithm — degree-ordered edge orientation (the standard
+    * skew-bounding trick): orient every canonical edge from the endpoint
+    * with LOWER (degree, id) to the higher one. Every node's oriented
+    * out-degree is then O(√E) regardless of its real degree, so the
+    * wedge self-join cannot explode on hubs: a degree-10^6 hub at web
+    * scale would otherwise generate C(10^6, 2) ≈ 5·10^11 wedges from
+    * that one node; oriented, the hub sits at the HIGH end of its edges
+    * and generates none. Each triangle {a, b, c} has exactly one vertex
+    * with two outgoing oriented edges (its (degree, id)-minimum), so
+    * every triangle is counted exactly once — and the count equals the
+    * oracle's id-ordered (a < b < c) enumeration, orientation being a
+    * counting device, not a semantic choice.
+    *
+    * Shape: wedge join keyed on the pivot node (one shuffle over the
+    * oriented edges), closing-edge semi-check keyed on the (lo, hi)
+    * pair (second shuffle), per-node explode + groupBy (third). All
+    * three aggregate map-side; nothing is quadratic in degree.
+    *
+    * lcc is reported in FIXED-POINT parts-per-million:
+    * lcc_ppm = (2·10^6·tri) div (deg·(deg−1)) for deg ≥ 2 else 0 —
+    * all-integer arithmetic, so the oracle comparison carries zero
+    * cross-engine floating-point/rounding risk (the q110 fixed-point
+    * regime applied to the coefficient; callers wanting the float just
+    * divide by 1e6).
+    *
+    * @param edges DataFrame with castable-to-long `src`, `dst`
+    * @return (node BIGINT, deg BIGINT, tri BIGINT, lcc_ppm BIGINT) */
+  def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges
+      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // (degree, id) orientation key — struct comparison is
+        // lexicographic, exactly the order the correctness argument needs
+        def ord(d: Column, id: Column): Column = struct(d, id)
+        val oriented = e
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(ord(col("du"), col("u")) < ord(col("dv"), col("v")),
+              struct(col("u").as("x"), col("v").as("y"),
+                col("dv").as("dy")))
+              .otherwise(struct(col("v").as("x"), col("u").as("y"),
+                col("du").as("dy")))
+              .as("o"))
+          .select(col("o.x").as("x"), col("o.y").as("y"), col("o.dy").as("dy"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // wedges at pivot x: unordered pairs {y1, y2} taken in
+          // orientation order so the closing edge is oriented y1 → y2
+          val w1 = oriented.select(col("x"), col("y").as("y1"),
+            col("dy").as("d1"))
+          val w2 = oriented.select(col("x"), col("y").as("y2"),
+            col("dy").as("d2"))
+          val wedges = w1.join(w2, Seq("x"))
+            .where(ord(col("d1"), col("y1")) < ord(col("d2"), col("y2")))
+            .select(col("x"), col("y1"), col("y2"))
+          val closing = oriented
+            .select(col("x").as("y1"), col("y").as("y2"))
+          // tris is consumed exactly once (the explode below) — no persist
+          val tris = wedges.join(closing, Seq("y1", "y2"))
+          val perNode = tris
+            .select(explode(array(col("x"), col("y1"), col("y2")))
+              .as("node"))
+            .groupBy("node").agg(count(lit(1)).as("tri"))
+          val out = deg.join(perNode, Seq("node"), "left_outer")
+            .select(col("node"), col("deg"),
+              coalesce(col("tri"), lit(0L)).as("tri"))
+            .withColumn("lcc_ppm",
+              when(col("deg") >= 2,
+                expr("(2000000 * tri) div (deg * (deg - 1))"))
+                .otherwise(lit(0L)))
+          out.localCheckpoint(eager = true)
+        } finally oriented.unpersist(blocking = false)
+      } finally deg.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{ConnectedComponents, Dedup}
+import graft.operators.{ConnectedComponents, Dedup, Graphs}
 import graft.sources.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -16,6 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Round7Queries {
   type QFn = (SparkSession, String) => DataFrame
+
+  /** Deterministic web-ish digraph over the customer keys, for q110:
+    * chain edges k → k+1 within 50-blocks (the q63 topology) plus hub
+    * edges k → its 100-block leader (k div 100)·100. Leaders collect
+    * in-degree ~99 (popular-page skew); node 0 and the past-the-end
+    * chain dst are DANGLING (no out-edges), exercising the leak term.
+    * Pure key arithmetic on both sides — no data-dependent constants. */
+  def prEdges(c: DataFrame): DataFrame = {
+    val chain = c.where(col("k") % 50 =!= 49)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+    val hub = c.where(col("k") % 100 =!= 0)
+      .select(col("k").as("src"), expr("(k div 100) * 100").as("dst"))
+    chain.unionByName(hub)
+  }
+
+  /** Deterministic triangle-rich undirected graph for q111: within
+    * 30-blocks k—k+1 and k—k+2 (chain triangles), plus the same hub
+    * edges as q110 — each 100-block leader closes a triangle with every
+    * consecutive pair in its block, giving it degree ~99 and ~96
+    * triangles (the hub-skew case the degree-ordered orientation is
+    * for). */
+  def triEdges(c: DataFrame): DataFrame = {
+    val e1 = c.where(col("k") % 30 =!= 29)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+    val e2 = c.where(col("k") % 30 < 28)
+      .select(col("k").as("src"), (col("k") + 2).as("dst"))
+    val hub = c.where(col("k") % 100 =!= 0)
+      .select(col("k").as("src"), expr("(k div 100) * 100").as("dst"))
+    e1.unionByName(e2).unionByName(hub)
+  }
 
   val queries: Map[String, QFn] = Map(
     // Containment-dedup clusters: q106's pairs as edges → connected
@@ -45,9 +75,115 @@ object Round7Queries {
           count(lit(1)).over(Window.partitionBy(col("comp")))
             .as("csize"))
         .orderBy("doc_id")
+    }),
+
+    // Fixed-point integer PageRank (entity importance over the KG link
+    // graph) — 5 synchronous iterations in BIGINT 1e-12 units, so the
+    // inflow sums are order-independent and the whole power iteration
+    // hash-oracles (see Graphs.pageRank's scaladoc for the regime
+    // argument). Graph derived arithmetically from customer keys.
+    "q110_pagerank" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      Graphs.pageRank(s, prEdges(c), iters = 5)
+        .orderBy("node")
+    }),
+
+    // Per-node triangle counts + local clustering coefficient with
+    // degree-ordered orientation (hub-skew-proof wedge join). The oracle
+    // enumerates id-ordered; orientation invariance makes the counts
+    // identical.
+    "q111_triangles" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      Graphs.triangleStats(s, triEdges(c))
+        .orderBy("node")
     }))
 
+  /** Unrolled SQL replay of Graphs.pageRank — generated from the SAME
+    * iteration count the query passes, so the oracle cannot drift from
+    * the Spark side's `iters`. Every arithmetic step mirrors the
+    * operator exactly: BIGINT ranks, `//` (= Spark's `div` on the
+    * non-negative domain), init/base from a scalar params CTE. Each
+    * round CTE is MATERIALIZED — r{k} is referenced twice by r{k+1}
+    * (the inflow subquery and nothing else, but DuckDB's inlining of a
+    * 5-deep CTE chain re-plans the whole prefix per level without the
+    * barrier; the q71 lesson). SUMs are CAST back to BIGINT because
+    * DuckDB widens SUM(BIGINT) to HUGEINT. */
+  private def pageRankOracleSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node AS node,
+         |    p.base + (85 * COALESCE(f.inflow, CAST(0 AS BIGINT))) // 100
+         |      AS rank
+         |  FROM nodes n CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inflow
+         |    FROM e JOIN deg d ON e.src = d.src
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) f ON n.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |ck AS (SELECT c_custkey AS k FROM customer),
+       |raw AS (
+       |  SELECT k AS src, k + 1 AS dst FROM ck WHERE k % 50 <> 49
+       |  UNION ALL
+       |  SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |params AS (
+       |  SELECT CAST($scale // COUNT(*) AS BIGINT) AS init,
+       |    CAST((15 * ($scale // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |r0 AS (SELECT node, p.init AS rank FROM nodes CROSS JOIN params p),
+       |$rounds
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q110_pagerank" -> pageRankOracleSql(iters = 5, scale = 1000000000000L),
+
+    // Id-ordered triangle enumeration (a < b < c, three edge probes) —
+    // a completely different join tree from the Spark side's
+    // degree-ordered orientation; the counts agree because both
+    // enumerate each triangle exactly once (orientation invariance).
+    // lcc in fixed-point ppm, all-BIGINT, mirroring the q110 regime.
+    "q111_triangles" ->
+      """WITH
+        |ck AS (SELECT c_custkey AS k FROM customer),
+        |raw AS (
+        |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
+        |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
+        |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY node),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pernode AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(p.tri, CAST(0 AS BIGINT)) AS tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN (2000000 * COALESCE(p.tri, CAST(0 AS BIGINT)))
+        |         // (d.deg * (d.deg - 1))
+        |    ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+        |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+        |ORDER BY d.node""".stripMargin,
+
     // q106's candidate CTEs (same shingle/containment replay), then the
     // q63-style WITH RECURSIVE min-label closure over the pair edges.
     // The expensive CTEs are MATERIALIZED: DuckDB re-evaluates inlined

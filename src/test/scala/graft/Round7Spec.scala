@@ -184,6 +184,111 @@ class Round7Spec extends SparkTestBase {
       "close() must delete the consumed checkpoint dir")
   }
 
+  // ---------------- graph analytics (q110 / q111) ---------------------
+
+  /** Independent driver-side replay of the fixed-point PageRank — same
+    * integer semantics, totally different execution (a sequential loop
+    * over Scala Maps), so agreement checks the distributed plan, not a
+    * shared implementation. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val init = scale / nodes.size
+    val base = 15L * init / 100L
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- e) inflow(d) += rank(s) / outdeg(s)
+      rank = nodes.map(v => v -> (base + 85L * inflow(v) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank: bit-identical to the sequential integer replay; " +
+      "dangling mass leaks; edge-order/duplicate invariant") {
+    import spark.implicits._
+    val scale = 1000000000000L
+    // ring 1→2→3→1 with chord 1→3, feeder 4→1, dangling sink 3→5
+    // (5 has no out-edges: its inflow leaks), hub 6,7,8 → 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L),
+      (3L, 5L), (6L, 2L), (7L, 2L), (8L, 2L))
+    val got = graft.operators.Graphs
+      .pageRank(spark, edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = refPageRank(edges, iters = 4)
+    assert(got == want)
+    // dangling leak: node 5 absorbs mass and redistributes none, so
+    // total mass strictly drops below the initial `scale`
+    assert(got.values.sum < scale,
+      s"dangling node must leak mass: total ${got.values.sum}")
+    assert(got.values.forall(_ > 0))
+    // determinism under presentation: reversed order + duplicated edges
+    // must produce the SAME bit-exact ranks (distinct + integer sums)
+    val got2 = graft.operators.Graphs
+      .pageRank(spark, (edges.reverse ++ edges).toDF("src", "dst"),
+        iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == got)
+  }
+
+  /** Driver-side brute-force triangle census: id-ordered triple
+    * enumeration over an adjacency set — the third independent
+    * formulation after Spark's degree-ordered orientation and the
+    * oracle's id-ordered SQL join. */
+  private def refTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val tri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- und; w <- adj(u) if w > v && adj(v)(w)) {
+      tri(u) += 1; tri(v) += 1; tri(w) += 1
+    }
+    adj.map { case (n, nbrs) =>
+      val d = nbrs.size.toLong
+      n -> (d, tri(n))
+    }
+  }
+
+  test("triangleStats: matches the brute-force census on K4 + pendant + " +
+      "star hub; lcc_ppm exact; direction/duplicate invariant") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}, pendant 5—1, triangle-free star 10—{11..15}
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 15L).map(l => (10L, l))
+    val edges = k4 ++ Seq((5L, 1L)) ++ star
+    val got = graft.operators.Graphs
+      .triangleStats(spark, edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val want = refTriangles(edges).map { case (n, (d, t)) =>
+      n -> ((d, t, if (d >= 2) 2000000L * t / (d * (d - 1)) else 0L))
+    }
+    assert(got == want)
+    // hand-checked anchors: node 2 is pure-K4 (deg 3, 3 triangles,
+    // fully clustered), node 1 carries the pendant (deg 4, 3 triangles),
+    // the hub sees 5 leaves and zero triangles
+    assert(got(2L) == ((3L, 3L, 1000000L)))
+    assert(got(1L) == ((4L, 3L, 500000L)))
+    assert(got(10L) == ((5L, 0L, 0L)))
+    assert(got(11L) == ((1L, 0L, 0L)))
+    // orientation invariance: reversed directions + duplicates in BOTH
+    // directions must not change a single row
+    val messy = edges.map(_.swap) ++ edges ++ edges.map(_.swap)
+    val got2 = graft.operators.Graphs
+      .triangleStats(spark, messy.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got2 == got)
+  }
+
   test("resumableRun: maxIter abandon KEEPS the checkpoint; a second " +
       "call resumes from the last committed round and converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ccr2").toString
