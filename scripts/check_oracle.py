@@ -27,13 +27,12 @@ def canon(rows, cols, types):
     type compare is correct only because both use this same stable
     sort, so the ordering lives in exactly one place.
 
-    Known limitation (ADVICE r6): with DUPLICATE column names on both
-    sides, the stable sort pairs duplicates by each side's original
-    relative order — if Spark and DuckDB emit them in different orders
-    the compare can be spurious either way. No query emits duplicate
-    names (QueriesSmokeSpec's flat-schema fence plus per-query aliasing
-    keep names unique); if that ever changes, pair by
-    (name, occurrence index) here first."""
+    Duplicate column names (ADVICE r6): a stable name-sort pairs
+    duplicates by each side's original relative order, which is
+    positional luck — so the compare loop REFUSES duplicate-named
+    results outright (reported BAD) instead of risking a spurious
+    verdict, and QueriesSmokeSpec makes duplicate names a build
+    failure on the Spark side."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -90,6 +89,14 @@ def main(sf_dir, out_dir, only=None, types_out=None):
         # dict would collapse duplicate column names to the last
         # occurrence and compare only that one's type, contradicting
         # run_side's duplicate-column rationale (round-5 advice)
+        dup = sorted({c for side in (d_cols, s_cols) for c in side
+                      if side.count(c) > 1})
+        if dup:
+            print(f"BAD  {name}: duplicate column name(s) {dup} — "
+                  "name-sorted pairing is ill-defined on duplicates; "
+                  "alias every column uniquely on both sides")
+            n_bad += 1
+            continue
         dc, dcols, d_ctypes = canon(d_rows, d_cols, d_types)
         sc, scols, s_ctypes = canon(s_rows, s_cols, s_types)
         if dcols == scols:

@@ -50,6 +50,18 @@ class QueriesSmokeSpec extends SparkTestBase {
         s"$name emits nested output column(s) ${nested.mkString(", ")} — " +
           "the driver's checker cannot hash nested values; flatten to a " +
           "string (array_join/concat_ws, q72 convention) or explode")
+      // name-uniqueness fence (round-7, from the r6 ADVICE on
+      // check_oracle's canon): both the driver's compare and the local
+      // checker sort columns BY NAME — with duplicate names the pairing
+      // between Spark and oracle columns is positional luck, so a
+      // duplicate-named output could pass or fail spuriously. Making
+      // duplicates a build failure keeps the name-sort well-defined.
+      val dup = df.schema.fieldNames.groupBy(identity)
+        .collect { case (n, occ) if occ.length > 1 => n }
+      assert(dup.isEmpty,
+        s"$name emits duplicate column name(s) ${dup.mkString(", ")} — " +
+          "name-sorted oracle comparison is ill-defined on duplicates; " +
+          "alias every output column uniquely")
     }
   }
 
