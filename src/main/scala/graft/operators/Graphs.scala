@@ -78,7 +78,28 @@ object Graphs {
     * @param edges DataFrame with castable-to-long `src`, `dst`
     * @return (node BIGINT, rank BIGINT), rank in units of 1/scale */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    fixpointRank(spark, edges, iters, scale, seeds = None)
+
+  /** Personalized PageRank: restart mass is confined to `seeds` instead
+    * of spread uniformly — the KG entity-similarity primitive ("which
+    * entities matter AROUND these?"). Same fixed-point integer regime
+    * as [[pageRank]] (and the same unrolled-SQL oracle shape), with the
+    * per-node restart term data-dependent:
+    *   m = |seeds ∩ nodes|, init = scale div m,
+    *   rank_0(v) = init·[v ∈ S], base(v) = ((15·init) div 100)·[v ∈ S].
+    * Seeds outside the graph's node set are ignored (they could receive
+    * no inflow and redistribute none). Non-seed nodes can rank 0 —
+    * exactly the point: mass stays near the seed set. At web scale the
+    * seed side is a broadcast join against nodes (seed sets are
+    * query-sized, not graph-sized). */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame =
+    fixpointRank(spark, edges, iters, scale, seeds = Some(seeds))
+
+  private def fixpointRank(spark: SparkSession, edges: DataFrame,
+      iters: Int, scale: Long, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
     val parts = spark.sessionState.conf.numShufflePartitions
 
@@ -91,17 +112,29 @@ object Graphs {
     // derived FROM the src partitioning — groupBy(src) reuses it, no shuffle
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    // nodes carry an is_seed flag so the restart term is a column, not a
+    // per-iteration join: uniform runs flag every node (seed semantics
+    // degenerate to the classic formulation bit-exactly)
+    val allNodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      case None => allNodes.withColumn("is_seed", lit(true))
+      case Some(s) =>
+        val sd = s.selectExpr("CAST(node AS BIGINT) AS node").distinct()
+        allNodes.join(broadcast(sd.withColumn("is_seed", lit(true))),
+            Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count()
-      require(n > 0, "pageRank on an empty graph")
-      val init = scale / n
+      val m = nodes.where(col("is_seed")).count()
+      require(m > 0, "rank fixpoint with an empty seed/node set")
+      val init = scale / m
       val base = (15L * init) / 100L
 
-      var ranks = nodes.withColumn("rank", lit(init))
+      var ranks = nodes.select(col("node"),
+        when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("rank"))
       for (_ <- 1 to iters) {
         val inflow = e.join(deg, Seq("src"))
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -110,7 +143,8 @@ object Graphs {
           .groupBy("node").agg(sum(col("contrib")).as("inflow"))
         ranks = nodes.join(inflow, Seq("node"), "left_outer")
           .select(col("node"),
-            (lit(base) + expr(s"(85 * coalesce(inflow, 0L)) div 100"))
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+              expr(s"(85 * coalesce(inflow, 0L)) div 100"))
               .as("rank"))
       }
       // one action materializes the whole 5-iteration plan; the
@@ -123,6 +157,65 @@ object Graphs {
       deg.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Label propagation (synchronous, deterministic tie-break)
+  // ------------------------------------------------------------------
+
+  /** Community detection by synchronous label propagation over an
+    * undirected edge list. label_0(v) = v; each iteration every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label. Both rules are exact integer comparisons, so a
+    * fixed iteration count is fully deterministic and the whole run
+    * hash-oracles against an unrolled SQL replay (classic async LPA is
+    * famously non-deterministic — visit order changes the result; the
+    * synchronous + min-tie-break formulation is the standard way to make
+    * it reproducible, and reproducibility is what lets a 100-TB curation
+    * run be audited).
+    *
+    * Scale shape: per iteration, TWO aggregations that both combine
+    * map-side — count per (node, neighbor-label), then per-node
+    * min(struct(-count, label)) — i.e. the argmax is an aggregate, NOT a
+    * row_number window (a window would sort every node's full label
+    * group in one task; the struct-min ships one 16-byte pair per
+    * partition per group). The edge-sized data moves only in the first
+    * shuffle; the argmax shuffle carries at most one row per surviving
+    * (node, label) pair post-combine, and the per-round label lookup
+    * ships node-sized state against the cached edge partitioning. Hub
+    * skew collapses map-side as usual.
+    *
+    * @param edges DataFrame with castable-to-long `src`, `dst`
+    * @return (node BIGINT, label BIGINT) after `iters` iterations */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val und = edges
+      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val sym = und.select(col("u"), col("v"))
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(parts, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to iters) {
+        labels = sym
+          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(min(struct((-col("cnt")).as("negCnt"),
+            col("label").as("label"))).as("best"))
+          .select(col("node"), col("best.label").as("label"))
+      }
+      labels.localCheckpoint(eager = true)
+    } finally sym.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------

@@ -47,6 +47,21 @@ object Round7Queries {
     e1.unionByName(e2).unionByName(hub)
   }
 
+  /** Deterministic community-structured graph for q113: dense 20-blocks
+    * (k—k+1 and k—k+2 within the block) joined by sparse bridges
+    * (k ≡ 0 mod 100 → k—k+30, reaching into the next block). LPA should
+    * collapse each dense block to one label while the bridges give the
+    * tie-break rule real work at the block boundaries. */
+  def lpaEdges(c: DataFrame): DataFrame = {
+    val e1 = c.where(col("k") % 20 =!= 19)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+    val e2 = c.where(col("k") % 20 < 18)
+      .select(col("k").as("src"), (col("k") + 2).as("dst"))
+    val bridge = c.where(col("k") % 100 === 0)
+      .select(col("k").as("src"), (col("k") + 30).as("dst"))
+    e1.unionByName(e2).unionByName(bridge)
+  }
+
   val queries: Map[String, QFn] = Map(
     // Containment-dedup clusters: q106's pairs as edges → connected
     // components (the q63 fixpoint operator — double pointer-jump,
@@ -96,6 +111,34 @@ object Round7Queries {
       val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
       Graphs.triangleStats(s, triEdges(c))
         .orderBy("node")
+    }),
+
+    // Personalized PageRank from the 100-block leaders over q110's
+    // graph — restart mass confined to the seed set, so rank measures
+    // proximity to the leaders ("which entities matter around these").
+    // The out-of-graph seed (MAX(k)+7, guaranteed absent since nodes
+    // top out at MAX(k)+1) exercises the documented seed∩nodes rule:
+    // it must not change m or any rank. Same fixed-point integer
+    // regime as q110; the oracle's rounds are loop-generated too.
+    "q112_personalized_pagerank" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val seeds = c.where(col("k") % 100 === 0)
+        .select(col("k").as("node"))
+        .unionByName(c.select((max(col("k")) + 7).as("node")))
+      Graphs.personalizedPageRank(s, prEdges(c), seeds, iters = 5)
+        .orderBy("node")
+    }),
+
+    // Synchronous label-propagation communities (deterministic
+    // min-tie-break) on a community-structured graph — 4 iterations,
+    // label = adopted community id, csize = community population.
+    "q113_label_propagation" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      Graphs.labelPropagation(s, lpaEdges(c), iters = 4)
+        .select(col("node"), col("label"),
+          count(lit(1)).over(Window.partitionBy(col("label")))
+            .as("csize"))
+        .orderBy("node")
     }))
 
   /** Unrolled SQL replay of Graphs.pageRank — generated from the SAME
@@ -108,6 +151,21 @@ object Round7Queries {
     * 5-deep CTE chain re-plans the whole prefix per level without the
     * barrier; the q71 lesson). SUMs are CAST back to BIGINT because
     * DuckDB widens SUM(BIGINT) to HUGEINT. */
+  /** Shared CTE prefix for the q110/q112 oracles: the derived web-ish
+    * digraph (mirrors prEdges) down to its node set. */
+  private val prGraphSql: String =
+    """ck AS (SELECT c_custkey AS k FROM customer),
+      |raw AS (
+      |  SELECT k AS src, k + 1 AS dst FROM ck WHERE k % 50 <> 49
+      |  UNION ALL
+      |  SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |deg AS MATERIALIZED (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+
   private def pageRankOracleSql(iters: Int, scale: Long): String = {
     val rounds = (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (
@@ -123,17 +181,7 @@ object Round7Queries {
          |    GROUP BY e.dst) f ON n.node = f.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH
-       |ck AS (SELECT c_custkey AS k FROM customer),
-       |raw AS (
-       |  SELECT k AS src, k + 1 AS dst FROM ck WHERE k % 50 <> 49
-       |  UNION ALL
-       |  SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-       |deg AS MATERIALIZED (
-       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
-       |nodes AS MATERIALIZED (
-       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |$prGraphSql,
        |params AS (
        |  SELECT CAST($scale // COUNT(*) AS BIGINT) AS init,
        |    CAST((15 * ($scale // COUNT(*))) // 100 AS BIGINT) AS base
@@ -143,8 +191,81 @@ object Round7Queries {
        |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q112 replay: identical machinery to [[pageRankOracleSql]] with the
+    * restart term confined to the seed flag. The out-of-graph seed the
+    * Spark query adds needs no mirroring — it is absent from `nodes`,
+    * so the seed∩nodes rule drops it from m and from every base term
+    * on both sides. */
+  private def pprOracleSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node AS node,
+         |    (CASE WHEN n.is_seed THEN p.base ELSE CAST(0 AS BIGINT) END)
+         |      + (85 * COALESCE(f.inflow, CAST(0 AS BIGINT))) // 100
+         |      AS rank
+         |  FROM ns n CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inflow
+         |    FROM e JOIN deg d ON e.src = d.src
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) f ON n.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$prGraphSql,
+       |sd AS (SELECT k AS node FROM ck WHERE k % 100 = 0),
+       |ns AS MATERIALIZED (
+       |  SELECT n.node AS node, (s.node IS NOT NULL) AS is_seed
+       |  FROM nodes n LEFT JOIN sd s ON n.node = s.node),
+       |params AS (
+       |  SELECT CAST($scale // COUNT(*) AS BIGINT) AS init,
+       |    CAST((15 * ($scale // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM ns WHERE is_seed),
+       |r0 AS (
+       |  SELECT node,
+       |    CASE WHEN is_seed THEN p.init ELSE CAST(0 AS BIGINT) END AS rank
+       |  FROM ns CROSS JOIN params p),
+       |$rounds
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** q113 replay: synchronous LPA rounds unrolled by the same loop
+    * trick. The per-round argmax is ROW_NUMBER ordered (cnt DESC,
+    * label ASC) — exactly the min(struct(-cnt, label)) the Spark side
+    * aggregates, expressed the way SQL likes it. */
+  private def lpaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT s.u AS node, l.label AS label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY s.u
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM sym s JOIN l${k - 1} l ON s.v = l.node
+         |    GROUP BY s.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |ck AS (SELECT c_custkey AS k FROM customer),
+       |raw AS (
+       |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 20 <> 19
+       |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 20 < 18
+       |  UNION ALL SELECT k, k + 30 FROM ck WHERE k % 100 = 0),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |$rounds
+       |SELECT node, label, COUNT(*) OVER (PARTITION BY label) AS csize
+       |FROM l$iters ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q110_pagerank" -> pageRankOracleSql(iters = 5, scale = 1000000000000L),
+    "q112_personalized_pagerank" ->
+      pprOracleSql(iters = 5, scale = 1000000000000L),
+    "q113_label_propagation" -> lpaOracleSql(iters = 4),
 
     // Id-ordered triangle enumeration (a < b < c, three edge probes) —
     // a completely different join tree from the Spark side's

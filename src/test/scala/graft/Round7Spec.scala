@@ -191,18 +191,25 @@ class Round7Spec extends SparkTestBase {
     * over Scala Maps), so agreement checks the distributed plan, not a
     * shared implementation. */
   private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
-      scale: Long = 1000000000000L): Map[Long, Long] = {
+      scale: Long = 1000000000000L,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val e = edges.filter(p => p._1 != p._2).distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val inSeed: Long => Boolean =
+      seeds match {
+        case None => _ => true
+        case Some(s) => v => s.contains(v)   // seed ∩ nodes via the map
+      }
     val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val init = scale / nodes.size
+    val init = scale / nodes.count(inSeed)
     val base = 15L * init / 100L
-    var rank = nodes.map(_ -> init).toMap
+    var rank = nodes.map(v => v -> (if (inSeed(v)) init else 0L)).toMap
     for (_ <- 1 to iters) {
       val inflow = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
       for ((s, d) <- e) inflow(d) += rank(s) / outdeg(s)
-      rank = nodes.map(v => v -> (base + 85L * inflow(v) / 100L)).toMap
+      rank = nodes.map(v => v ->
+        ((if (inSeed(v)) base else 0L) + 85L * inflow(v) / 100L)).toMap
     }
     rank
   }
@@ -232,6 +239,70 @@ class Round7Spec extends SparkTestBase {
         iters = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got2 == got)
+  }
+
+  test("personalizedPageRank: seed-confined restart matches the replay; " +
+      "out-of-graph seeds ignored; unreachable non-seeds rank 0") {
+    import spark.implicits._
+    // component A: seed 1 → 2 → 3 (3 dangling); component B: 10 → 11,
+    // 11 → 10 (a 2-cycle NO seed can reach — its ranks must be 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+    def run(seedIds: Seq[Long]): Map[Long, Long] =
+      graft.operators.Graphs.personalizedPageRank(spark,
+          edges.toDF("src", "dst"), seedIds.toDF("node"), iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(Seq(1L))
+    assert(got == refPageRank(edges, iters = 3, seeds = Some(Set(1L))))
+    assert(got(10L) == 0L && got(11L) == 0L,
+      s"unreachable component must hold zero mass: $got")
+    assert(got(2L) > 0L && got(3L) > 0L)
+    // an out-of-graph seed (and a duplicate) must change NOTHING: m
+    // counts seeds ∩ nodes only
+    assert(run(Seq(1L, 1L, 999L)) == got)
+    // two seeds: m = 2 halves init/base — a genuinely different
+    // fixpoint, confirming the seed flag reaches the arithmetic
+    val two = run(Seq(1L, 10L))
+    assert(two == refPageRank(edges, iters = 3, seeds = Some(Set(1L, 10L))))
+    assert(two(10L) > 0L)
+  }
+
+  /** Sequential LPA replay: same synchronous min-tie-break semantics,
+    * executed as driver-side Map folds. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (v, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        // max count, ties to the smallest label
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: matches the sequential replay on bridged " +
+      "cliques; tie-break deterministic; direction/duplicate invariant") {
+    import spark.implicits._
+    // two triangles bridged by one edge, plus an isolated 2-path where
+    // EVERY neighborhood is a tie (pure tie-break territory)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L),
+      (20L, 21L), (21L, 22L))
+    def run(es: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Graphs.labelPropagation(spark,
+          es.toDF("src", "dst"), iters = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(edges)
+    assert(got == refLpa(edges, iters = 4))
+    // the triangle clique around 1 must agree on one label
+    assert(Set(got(1L), got(2L)).size == 1)
+    val messy = edges.map(_.swap) ++ edges
+    assert(run(messy) == got)
   }
 
   /** Driver-side brute-force triangle census: id-ordered triple
