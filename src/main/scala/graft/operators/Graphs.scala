@@ -160,6 +160,74 @@ object Graphs {
   }
 
   // ------------------------------------------------------------------
+  // Link prediction (common neighbors / resource allocation)
+  // ------------------------------------------------------------------
+
+  /** Candidate missing edges ranked by shared neighborhood — the KG
+    * completion primitive ("these two entities co-occur around the same
+    * entities; the relation is probably missing"). For every NON-edge
+    * pair (a, b) with ≥ `minCommon` common neighbors, emits the common
+    * count and the resource-allocation index Σ_w 1/deg(w) over common
+    * neighbors w — in FIXED-POINT ppm (each pivot contributes
+    * 10^6 div deg(w), an integer, so the sum is order-independent and
+    * the whole ranking hash-oracles; the float RA index would not, and
+    * Adamic-Adar's 1/log deg(w) is transcendental on top — same regime
+    * choice as q110's ranks).
+    *
+    * `maxPivotDegree` is the scale contract, not a tuning afterthought:
+    * wedge fan-out at pivot w is C(deg(w), 2), so one degree-10^6 hub
+    * yields 5·10^11 candidate pairs — and a hub shared by half the
+    * graph carries no signal anyway (the RA index agrees: its
+    * contribution vanishes as 1/deg). Pivots above the cap are EXCLUDED
+    * — deterministically, on both sides of the oracle — which is the
+    * standard production formulation of neighborhood link prediction.
+    * Shape: one self-join of the (capped) adjacency keyed on the pivot,
+    * one map-side-combined aggregate on (a, b), one anti-join against
+    * the existing edge set. Nothing is quadratic in any surviving
+    * degree.
+    *
+    * @param edges DataFrame with castable-to-long `src`, `dst`
+    * @return (a BIGINT, b BIGINT, common BIGINT, ra_ppm BIGINT), a < b,
+    *         (a, b) not an edge */
+  def linkPredict(spark: SparkSession, edges: DataFrame,
+      maxPivotDegree: Long = 10000L, minCommon: Long = 1L): DataFrame = {
+    val e = edges
+      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // adjacency restricted to pivots under the cap, with the pivot's
+      // degree riding along for the RA contribution
+      val adj = e.select(col("u").as("w"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("w"), col("u").as("n")))
+        .join(deg.select(col("node").as("w"), col("deg").as("degw")),
+          Seq("w"))
+        .where(col("degw") <= maxPivotDegree)
+      val a1 = adj.select(col("w"), col("n").as("a"), col("degw"))
+      val a2 = adj.select(col("w"), col("n").as("b"))
+      val scored = a1.join(a2, Seq("w"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"),
+          sum(expr("1000000 div degw")).as("ra_ppm"))
+        .where(col("common") >= minCommon)
+      // materialize before the finally frees the edge cache (the e
+      // subplan is referenced three times — uncached it would re-derive
+      // per reference, the round-4 subplan lesson)
+      scored.join(e,
+          scored("a") === e("u") && scored("b") === e("v"), "left_anti")
+        .select(col("a"), col("b"), col("common"), col("ra_ppm"))
+        .localCheckpoint(eager = true)
+    } finally e.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------
   // Label propagation (synchronous, deterministic tie-break)
   // ------------------------------------------------------------------
 
@@ -251,8 +319,13 @@ object Graphs {
     * divide by 1e6).
     *
     * @param edges DataFrame with castable-to-long `src`, `dst`
+    * @param orientByDegree false = orient by id alone (the naive
+    *   formulation whose hub wedge fan-out is C(deg, 2); counts are
+    *   identical — GraphBench uses it to MEASURE what degree ordering
+    *   buys, production callers never should)
     * @return (node BIGINT, deg BIGINT, tri BIGINT, lcc_ppm BIGINT) */
-  def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def triangleStats(spark: SparkSession, edges: DataFrame,
+      orientByDegree: Boolean = true): DataFrame = {
     val e = edges
       .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
       .where(col("a") =!= col("b"))
@@ -269,17 +342,25 @@ object Graphs {
         // (degree, id) orientation key — struct comparison is
         // lexicographic, exactly the order the correctness argument needs
         def ord(d: Column, id: Column): Column = struct(d, id)
-        val oriented = e
-          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-          .select(
-            when(ord(col("du"), col("u")) < ord(col("dv"), col("v")),
-              struct(col("u").as("x"), col("v").as("y"),
-                col("dv").as("dy")))
-              .otherwise(struct(col("v").as("x"), col("u").as("y"),
-                col("du").as("dy")))
-              .as("o"))
-          .select(col("o.x").as("x"), col("o.y").as("y"), col("o.dy").as("dy"))
+        // id-mode reuses the whole wedge pipeline by making the ordering
+        // key degenerate: dy := y, so ord(dy, y) == (y, y) ≈ id order and
+        // the canonical u < v edges are already "oriented"
+        val oriented = (if (orientByDegree)
+          e.join(deg.select(col("node").as("u"), col("deg").as("du")),
+              Seq("u"))
+            .join(deg.select(col("node").as("v"), col("deg").as("dv")),
+              Seq("v"))
+            .select(
+              when(ord(col("du"), col("u")) < ord(col("dv"), col("v")),
+                struct(col("u").as("x"), col("v").as("y"),
+                  col("dv").as("dy")))
+                .otherwise(struct(col("v").as("x"), col("u").as("y"),
+                  col("du").as("dy")))
+                .as("o"))
+            .select(col("o.x").as("x"), col("o.y").as("y"),
+              col("o.dy").as("dy"))
+        else
+          e.select(col("u").as("x"), col("v").as("y"), col("v").as("dy")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           // wedges at pivot x: unordered pairs {y1, y2} taken in

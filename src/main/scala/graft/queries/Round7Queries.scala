@@ -129,6 +129,18 @@ object Round7Queries {
         .orderBy("node")
     }),
 
+    // Link prediction over q111's graph: non-edge pairs ranked by
+    // common neighbors + integer resource-allocation score. The pivot
+    // cap (50) actually binds here — the ~99-degree block leaders are
+    // excluded as pivots, chain nodes survive — so the oracle exercises
+    // the cap semantics, not just the happy path.
+    "q114_link_prediction" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      Graphs.linkPredict(s, triEdges(c), maxPivotDegree = 50L,
+          minCommon = 1L)
+        .orderBy("a", "b")
+    }),
+
     // Synchronous label-propagation communities (deterministic
     // min-tie-break) on a community-structured graph — 4 iterations,
     // label = adopted community id, csize = community population.
@@ -266,6 +278,40 @@ object Round7Queries {
     "q112_personalized_pagerank" ->
       pprOracleSql(iters = 5, scale = 1000000000000L),
     "q113_label_propagation" -> lpaOracleSql(iters = 4),
+
+    // q114: the q111 graph's canonical edges → capped adjacency →
+    // pivot self-join → NOT EXISTS anti-check. All-integer scoring
+    // (1000000 // deg sums exactly), mirroring linkPredict line by
+    // line.
+    "q114_link_prediction" ->
+      """WITH
+        |ck AS (SELECT c_custkey AS k FROM customer),
+        |raw AS (
+        |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
+        |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
+        |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY node),
+        |adj AS MATERIALIZED (
+        |  SELECT s.w, s.n, d.deg AS degw FROM (
+        |    SELECT u AS w, v AS n FROM e
+        |    UNION ALL SELECT v AS w, u AS n FROM e) s
+        |  JOIN deg d ON s.w = d.node
+        |  WHERE d.deg <= 50),
+        |sc AS MATERIALIZED (
+        |  SELECT l.n AS a, r.n AS b, CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(1000000 // l.degw) AS BIGINT) AS ra_ppm
+        |  FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common, ra_ppm FROM sc
+        |WHERE common >= 1 AND NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.u = sc.a AND e.v = sc.b)
+        |ORDER BY a, b""".stripMargin,
 
     // Id-ordered triangle enumeration (a < b < c, three edge probes) —
     // a completely different join tree from the Spark side's

@@ -266,6 +266,57 @@ class Round7Spec extends SparkTestBase {
     assert(two(10L) > 0L)
   }
 
+  /** Brute-force link-prediction replay: pivot loop over an adjacency
+    * map, integer RA accumulation, explicit edge/cap/minCommon rules. */
+  private def refLinkPredict(edges: Seq[(Long, Long)], cap: Long,
+      minCommon: Long): Map[(Long, Long), (Long, Long)] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((w, nbrs) <- adj if nbrs.size <= cap;
+         (n1, i) <- nbrs.zipWithIndex; n2 <- nbrs.drop(i + 1)) {
+      val (c0, r0) = acc.getOrElse((n1, n2), (0L, 0L))
+      acc((n1, n2)) = (c0 + 1, r0 + 1000000L / nbrs.size)
+    }
+    val eset = und.toSet
+    acc.filter { case (p, (c, _)) =>
+      c >= minCommon && !eset.contains(p)
+    }.toMap
+  }
+
+  test("linkPredict: matches the brute-force replay; the pivot cap " +
+      "excludes hubs deterministically; existing edges never predicted") {
+    import spark.implicits._
+    // triangle 1-2-3, chain 3-4-5, hub 100 — {1..6} (degree 6)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)) ++
+      (1L to 6L).map(n => (100L, n))
+    def run(cap: Long): Map[(Long, Long), (Long, Long)] =
+      graft.operators.Graphs.linkPredict(spark, edges.toDF("src", "dst"),
+          maxPivotDegree = cap, minCommon = 1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val capped = run(5L)
+    assert(capped == refLinkPredict(edges, cap = 5L, minCommon = 1L))
+    // hand anchors: (1,4) share pivot 3 (deg 4 → ra 250000); (3,5)
+    // share pivot 4 (deg 3 → ra 333333); the hub (deg 6 > cap) is NOT
+    // a pivot, so (1,6) — shared only through the hub — must be absent
+    assert(capped((1L, 4L)) == ((1L, 250000L)))
+    assert(capped((3L, 5L)) == ((1L, 333333L)))
+    assert(!capped.contains((1L, 6L)))
+    // no predicted pair is an existing edge
+    assert(!capped.contains((1L, 2L)) && !capped.contains((3L, 100L)))
+    // raising the cap admits the hub pivot: (1,6) — shared ONLY through
+    // the hub — appears with its 1/6 contribution, and (1,4) gains the
+    // hub term on top of pivot 3's (the hub links both 1 and 4)
+    val open = run(10L)
+    assert(open == refLinkPredict(edges, cap = 10L, minCommon = 1L))
+    assert(open((1L, 6L)) == ((1L, 166666L)))
+    assert(open((1L, 4L)) == ((2L, 416666L)))
+  }
+
   /** Sequential LPA replay: same synchronous min-tie-break semantics,
     * executed as driver-side Map folds. */
   private def refLpa(edges: Seq[(Long, Long)], iters: Int)
@@ -358,6 +409,15 @@ class Round7Spec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
     assert(got2 == got)
+    // the naive id-orientation (GraphBench's A/B baseline) must count
+    // the same triangles — orientation is a counting device
+    val gotNaive = graft.operators.Graphs
+      .triangleStats(spark, edges.toDF("src", "dst"),
+        orientByDegree = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(gotNaive == got)
   }
 
   test("resumableRun: maxIter abandon KEEPS the checkpoint; a second " +
