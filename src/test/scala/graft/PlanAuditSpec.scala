@@ -65,4 +65,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!q106.contains("CartesianProduct") &&
       !q106.contains("BroadcastNestedLoopJoin"), q106.take(1500))
   }
+
+  test("round-7 graph queries prune the customer scan to the key column") {
+    // the graphs are pure key arithmetic — at 100 TB an edge derivation
+    // that drags c_name/c_address/c_comment through every fixpoint
+    // round reads ~20× the bytes it needs
+    for (q <- Seq("q110_pagerank", "q111_triangles",
+        "q113_label_propagation", "q114_link_prediction")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("c_name") && !plan.contains("c_address") &&
+        !plan.contains("c_comment"),
+        s"$q scan reads customer columns the graph never touches")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
 }
