@@ -128,6 +128,41 @@ object OracleAssumptions {
       "exceeds half the q104 sketch capacity (4096) — the exact-regime " +
       "oracle assumption (no counter eviction anywhere) is no longer safe"
 
+    // q115 pins rounds=12 as the FIXPOINT of the 5-core peel on the
+    // customer-key graph: the unrolled oracle is hash-correct at any
+    // round count, but the query's claim is "this IS the 5-core", which
+    // holds only if a 13th round would remove nothing. Replayed
+    // sequentially here (node-set-sized: one long per customer row).
+    locally {
+      val ks = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+      val raw = Seq.newBuilder[(Long, Long)]
+      for (k <- ks) {
+        if (k % 30 != 29) raw += ((k, k + 1))
+        if (k % 30 < 28) raw += ((k, k + 2))
+        if (k % 100 != 0) {
+          val l = (k / 100) * 100
+          raw += ((math.min(k, l), math.max(k, l)))
+        }
+        if ((k / 100) % 2 == 0) {
+          if (k % 30 < 27) raw += ((k, k + 3))
+          if (k % 30 < 26) raw += ((k, k + 4))
+        }
+      }
+      var e = raw.result().filter(p => p._1 != p._2).toSet
+      def peelOnce(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+        val deg = scala.collection.mutable.Map.empty[Long, Int]
+          .withDefaultValue(0)
+        for ((a, b) <- es) { deg(a) += 1; deg(b) += 1 }
+        es.filter { case (a, b) => deg(a) >= 5 && deg(b) >= 5 }
+      }
+      for (_ <- 1 to 12) e = peelOnce(e)
+      if (peelOnce(e) != e) out += s"$dir: the 5-core peel has not " +
+        "converged after q115's 12 pinned rounds — the query's output " +
+        "is a mid-cascade state, not the 5-core; raise q115's rounds " +
+        "(query AND oracle share the constant) to the new fixpoint depth"
+    }
+
     out.result()
   }
 }

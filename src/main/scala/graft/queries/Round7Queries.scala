@@ -62,6 +62,21 @@ object Round7Queries {
     e1.unionByName(e2).unionByName(bridge)
   }
 
+  /** Graph for q115: triEdges plus extra k—k+3 / k—k+4 density inside
+    * EVEN 100-blocks only. Even-block interiors reach degree ~9 and
+    * survive the 5-core; odd blocks (max interior degree 5) and the
+    * even-block fringes peel away over a 12-round cascade — measured at
+    * the sf dirs: 12 rounds to fixpoint, ~50% survivors, min surviving
+    * degree exactly 5 (the q115 OracleAssumptions pin replays this). */
+  def kcoreEdges(c: DataFrame): DataFrame = {
+    val dense = c.where(expr("(k div 100) % 2 = 0"))
+    triEdges(c)
+      .unionByName(dense.where(col("k") % 30 < 27)
+        .select(col("k").as("src"), (col("k") + 3).as("dst")))
+      .unionByName(dense.where(col("k") % 30 < 26)
+        .select(col("k").as("src"), (col("k") + 4).as("dst")))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Containment-dedup clusters: q106's pairs as edges → connected
     // components (the q63 fixpoint operator — double pointer-jump,
@@ -139,6 +154,19 @@ object Round7Queries {
       Graphs.linkPredict(s, triEdges(c), maxPivotDegree = 50L,
           minCommon = 1L)
         .orderBy("a", "b")
+    }),
+
+    // 5-core trim after 12 synchronous peel rounds — the KG noise trim
+    // (densely-corroborated entities survive; scrape-artifact chains
+    // cascade away layer by layer). 12 rounds IS the fixpoint on this
+    // topology (OracleAssumptions replays the peel and fails Verify if
+    // regenerated data needs more rounds); the oracle unrolls the same
+    // 12 rounds, so the hash compares the full cascade, not just the
+    // converged core.
+    "q115_kcore" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      Graphs.kCore(s, kcoreEdges(c), k = 5L, rounds = 12)
+        .orderBy("node")
     }),
 
     // Synchronous label-propagation communities (deterministic
@@ -241,6 +269,44 @@ object Round7Queries {
        |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q115 replay: 12 peel rounds unrolled by the loop trick — k{r} is
+    * the surviving node set after recomputing degrees on e{r-1}, e{r}
+    * the induced edge set; both MATERIALIZED (each is referenced twice
+    * in its round and once downstream). */
+  private def kcoreOracleSql(k: Long, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, COUNT(*) AS deg FROM (
+         |      SELECT u AS node FROM e${r - 1}
+         |      UNION ALL SELECT v AS node FROM e${r - 1})
+         |    GROUP BY node)
+         |  WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM k$r)
+         |    AND v IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |ck AS (SELECT c_custkey AS k FROM customer),
+       |raw AS (
+       |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
+       |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
+       |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0
+       |  UNION ALL SELECT k, k + 3 FROM ck
+       |    WHERE (k // 100) % 2 = 0 AND k % 30 < 27
+       |  UNION ALL SELECT k, k + 4 FROM ck
+       |    WHERE (k // 100) % 2 = 0 AND k % 30 < 26),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b),
+       |$rs
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT u AS node FROM e$rounds
+       |  UNION ALL SELECT v AS node FROM e$rounds)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** q113 replay: synchronous LPA rounds unrolled by the same loop
     * trick. The per-round argmax is ROW_NUMBER ordered (cnt DESC,
     * label ASC) — exactly the min(struct(-cnt, label)) the Spark side
@@ -278,6 +344,7 @@ object Round7Queries {
     "q112_personalized_pagerank" ->
       pprOracleSql(iters = 5, scale = 1000000000000L),
     "q113_label_propagation" -> lpaOracleSql(iters = 4),
+    "q115_kcore" -> kcoreOracleSql(k = 5L, rounds = 12),
 
     // q114: the q111 graph's canonical edges → capped adjacency →
     // pivot self-join → NOT EXISTS anti-check. All-integer scoring

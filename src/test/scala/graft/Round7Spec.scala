@@ -266,6 +266,51 @@ class Round7Spec extends SparkTestBase {
     assert(two(10L) > 0L)
   }
 
+  /** Sequential peel replay for kCore: same bounded-round semantics,
+    * driver-side sets. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Long,
+      rounds: Int): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+    for (_ <- 1 to rounds) {
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((a, b) <- e) { deg(a) += 1; deg(b) += 1 }
+      e = e.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+    }
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- e) { deg(a) += 1; deg(b) += 1 }
+    deg.toMap
+  }
+
+  test("kCore: cascade peels a path inward one layer per round; the " +
+      "clique survives; mid-cascade rounds match the replay exactly") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6, K5 clique on {10..14}, pendant 14—20
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (14L, 20L)) ++ clique
+    def run(rounds: Int): Map[Long, Long] =
+      graft.operators.Graphs.kCore(spark, edges.toDF("src", "dst"),
+          k = 2L, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // round 1: path ends (1, 6) and the pendant leaf peel; the path
+    // interior survives WITH ITS REDUCED DEGREES — the mid-cascade
+    // state is well-defined and replayable
+    val r1 = run(1)
+    assert(r1 == refKCore(edges, k = 2L, rounds = 1))
+    assert(Seq(2L, 3L, 4L, 5L).forall(r1.contains) && !r1.contains(1L) &&
+      !r1.contains(6L) && !r1.contains(20L))
+    // by round 3 the whole path has cascaded away; rounds 3 and 5 agree
+    // (extra rounds past the fixpoint are no-ops)
+    val r3 = run(3)
+    assert(r3 == refKCore(edges, k = 2L, rounds = 3))
+    assert(r3 == run(5))
+    assert(r3 == (10L to 14L).map(_ -> 4L).toMap,
+      s"only the clique survives, at full internal degree: $r3")
+  }
+
   /** Brute-force link-prediction replay: pivot loop over an adjacency
     * map, integer RA accumulation, explicit edge/cap/minCommon rules. */
   private def refLinkPredict(edges: Seq[(Long, Long)], cap: Long,
