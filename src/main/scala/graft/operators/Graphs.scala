@@ -206,13 +206,18 @@ object Graphs {
       .distinct()
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
+      // keep feeds two semi-joins — uncached, the degree aggregate runs
+      // twice per round (scale-bug pattern 1); freed as soon as the
+      // round's edge set is materialized
       val keep = degrees(e).where(col("deg") >= k)
         .select(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val e2 = e
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(eager = true)
+      keep.unpersist(blocking = false)
       e = e2
     }
     degrees(e).select(col("node"), col("deg").as("core_deg"))
@@ -263,11 +268,15 @@ object Graphs {
         .groupBy("node").agg(count(lit(1)).as("deg"))
       // adjacency restricted to pivots under the cap, with the pivot's
       // degree riding along for the RA contribution
+      // adj feeds BOTH sides of the wedge self-join — uncached, Spark
+      // executes the union+degree-join derivation twice (subplans are
+      // not deduped; scale-bug pattern 1)
       val adj = e.select(col("u").as("w"), col("v").as("n"))
         .unionByName(e.select(col("v").as("w"), col("u").as("n")))
         .join(deg.select(col("node").as("w"), col("deg").as("degw")),
           Seq("w"))
         .where(col("degw") <= maxPivotDegree)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val a1 = adj.select(col("w"), col("n").as("a"), col("degw"))
       val a2 = adj.select(col("w"), col("n").as("b"))
       val scored = a1.join(a2, Seq("w"))
@@ -279,10 +288,12 @@ object Graphs {
       // materialize before the finally frees the edge cache (the e
       // subplan is referenced three times — uncached it would re-derive
       // per reference, the round-4 subplan lesson)
-      scored.join(e,
+      val out = scored.join(e,
           scored("a") === e("u") && scored("b") === e("v"), "left_anti")
         .select(col("a"), col("b"), col("common"), col("ra_ppm"))
         .localCheckpoint(eager = true)
+      adj.unpersist(blocking = false)
+      out
     } finally e.unpersist(blocking = false)
   }
 
