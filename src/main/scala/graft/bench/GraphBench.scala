@@ -37,15 +37,17 @@ object GraphBench {
     // ---- one-time input materialization (not timed) ----
     locally {
       val spark = session(32)
-      prEdgesSynth(spark, nPr).write.parquet(s"$work/pr_edges")
+      if (nPr > 0) prEdgesSynth(spark, nPr).write.parquet(s"$work/pr_edges")
       triEdgesSynth(spark, nTri).write.parquet(s"$work/tri_edges")
       spark.stop()
     }
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // ---- PageRank at N and 4N cores ----
-    val pr = Seq(nCores, 4 * nCores).map { cpus =>
+    // ---- PageRank at N and 4N cores (nPr = 0 skips the section —
+    // the undirected-graph legs can then run standalone) ----
+    val pr = if (nPr == 0) Seq.empty else Seq(nCores, 4 * nCores).map {
+      cpus =>
       val spark = session(cpus)
       val edges = spark.read.parquet(s"$work/pr_edges")
       val nEdges = edges.count()
@@ -68,8 +70,16 @@ object GraphBench {
       SparkSession.clearDefaultSession()
       (cpus, nEdges, wall, 5.0 * nEdges / wall) // edge-traversals/sec
     }
-    val Seq((c1, ne, wall1, thr1), (c4, _, wall4, thr4)) = pr
-    val prEff = (thr4 / thr1) / 4.0
+    val prJson = pr match {
+      case Seq((c1, ne, wall1, thr1), (c4, _, wall4, thr4)) =>
+        val prEff = (thr4 / thr1) / 4.0
+        s""""pr_nodes":$nPr,"pr_edges":$ne,""" +
+          s""""pagerank":{"local$c1":{"wall_s":$wall1},""" +
+          s""""local$c4":{"wall_s":$wall4},""" +
+          s""""edge_traversals_per_sec_local$c4":$thr4,""" +
+          s""""scaling_efficiency":$prEff},"""
+      case _ => ""
+    }
 
     // ---- triangles A/B + LPA at 4N cores ----
     val spark = session(4 * nCores)
@@ -116,20 +126,48 @@ object GraphBench {
       // scalastyle:on println
       w
     }.min
+    // link prediction under the pivot cap: leaders (deg ~501) and the
+    // mega-hub (deg n/149) are excluded, chain pivots (deg ≤ 9) kept —
+    // still ~30 candidate pairs per node, so this measures the real
+    // dense-local-structure workload. (No uncapped leg: the uncapped
+    // blowup is the SAME C(deg, 2) term the triangle A/B measures.)
+    var lpRows = -1L
+    val wallLp = (1 to 2).map { trial =>
+      quiesce()
+      val t0 = System.nanoTime()
+      lpRows = Graphs.linkPredict(spark, tedges, maxPivotDegree = 10L,
+        minCommon = 2L).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"[linkpredict] trial=$trial wall=$w%.2f s pairs=$lpRows")
+      // scalastyle:on println
+      w
+    }.min
+    // k-core peel: 8 synchronous rounds over the full edge set
+    var coreRows = -1L
+    val wallCore = (1 to 2).map { trial =>
+      quiesce()
+      val t0 = System.nanoTime()
+      coreRows = Graphs.kCore(spark, tedges, k = 5L, rounds = 8).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"[kcore] trial=$trial wall=$w%.2f s survivors=$coreRows")
+      // scalastyle:on println
+      w
+    }.min
     spark.stop()
 
     val json =
-      s"""{"metric":"graph_bench","pr_nodes":$nPr,"pr_edges":$ne,""" +
-        s""""pagerank":{"local$c1":{"wall_s":$wall1},""" +
-        s""""local$c4":{"wall_s":$wall4},""" +
-        s""""edge_traversals_per_sec_local$c4":$thr4,""" +
-        s""""scaling_efficiency":$prEff},""" +
+      s"""{"metric":"graph_bench",""" + prJson +
         s""""tri_nodes":$nTri,"tri_edges":$nTriEdges,""" +
         s""""triangles":{"total":$triCount,""" +
         s""""degree_ordered_wall_s":$wallDeg,""" +
         s""""id_ordered_wall_s":$wallId,""" +
         s""""speedup":${wallId / wallDeg}},""" +
-        s""""lpa":{"iters":4,"wall_s":$wallLpa}}"""
+        s""""lpa":{"iters":4,"wall_s":$wallLpa},""" +
+        s""""linkpredict":{"cap":10,"pairs":$lpRows,"wall_s":$wallLp},""" +
+        s""""kcore":{"k":5,"rounds":8,"survivors":$coreRows,""" +
+        s""""wall_s":$wallCore}}"""
     // scalastyle:off println
     println(json)
     // scalastyle:on println
