@@ -32,6 +32,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Canonical undirected edge set: cast to BIGINT, drop self-loops,
+    * orient (u < v), distinct. Shared by every undirected operator so
+    * the canonicalization cannot drift between them. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  /** Per-node degree over a canonical (u, v) edge set — one map-side-
+    * combined aggregate. */
+  private def endpointDegrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** RDD backing a localCheckpoint'ed Dataset (its LogicalRDD leaf) —
+    * the handle for freeing a round's blocks once the next round is
+    * materialized (the CC LocalStore technique; a collectFirst miss
+    * leaks to the ContextCleaner, never a wrong unpersist). */
+  private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   // ------------------------------------------------------------------
   // PageRank (fixed-point integer arithmetic, fixed iteration count)
   // ------------------------------------------------------------------
@@ -101,6 +128,12 @@ object Graphs {
   private def fixpointRank(spark: SparkSession, edges: DataFrame,
       iters: Int, scale: Long, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
+    // overflow headroom: total mass <= scale, so 85 * inflow <=
+    // 85 * scale must stay under 2^63 — beyond 1e17 the multiplication
+    // would wrap negative, ranks go negative, and Spark's div
+    // (truncation) silently diverges from DuckDB's // (floor)
+    require(scale >= 1 && scale <= 100000000000000000L,
+      s"scale=$scale out of [1, 1e17]")
     val parts = spark.sessionState.conf.numShufflePartitions
 
     val e = edges
@@ -135,7 +168,12 @@ object Graphs {
 
       var ranks = nodes.select(col("node"),
         when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("rank"))
-      for (_ <- 1 to iters) {
+      // rounds past the single-linear-plan regime (~8 nested rounds)
+      // get a lineage cut, per this scaladoc's own design note — an
+      // uncut 32-round plan stalls the driver in analysis/optimization
+      // (scale-bug pattern 3); each cut frees its predecessor's blocks
+      var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
+      for (i <- 1 to iters) {
         val inflow = e.join(deg, Seq("src"))
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"),
@@ -146,12 +184,20 @@ object Graphs {
             (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
               expr(s"(85 * coalesce(inflow, 0L)) div 100"))
               .as("rank"))
+        if (i % 8 == 0 && i < iters) {
+          val cut = ranks.localCheckpoint(eager = true)
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = ckptRdd(cut)
+          ranks = cut
+        }
       }
-      // one action materializes the whole 5-iteration plan; the
-      // checkpoint blocks back the returned DataFrame so the input
-      // caches can be freed NOW instead of pinning edge-scale storage
-      // for the caller's lifetime
-      ranks.localCheckpoint(eager = true)
+      // one action materializes the remaining rounds; the checkpoint
+      // blocks back the returned DataFrame so the input caches (and any
+      // mid-run cut) can be freed NOW instead of pinning edge-scale
+      // storage for the caller's lifetime
+      val out = ranks.localCheckpoint(eager = true)
+      prevCut.foreach(_.unpersist(blocking = false))
+      out
     } finally {
       e.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -194,33 +240,37 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1,64]")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-    var e = edges
-      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    var e = canonicalUndirected(edges).localCheckpoint(eager = true)
+    // each round frees its predecessor's checkpoint blocks as soon as
+    // the new edge set is materialized — without this, `rounds` full
+    // edge-set copies pile up in the block manager until driver GC
+    // (the transient-derived-state scale-bug pattern)
+    var prev = ckptRdd(e)
     for (_ <- 1 to rounds) {
       // keep feeds two semi-joins — uncached, the degree aggregate runs
       // twice per round (scale-bug pattern 1); freed as soon as the
-      // round's edge set is materialized
-      val keep = degrees(e).where(col("deg") >= k)
+      // round's edge set is materialized, exception or not
+      val keep = endpointDegrees(e).where(col("deg") >= k)
         .select(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val e2 = e
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint(eager = true)
-      keep.unpersist(blocking = false)
-      e = e2
+      try {
+        val e2 = e
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint(eager = true)
+        prev.foreach(_.unpersist(blocking = false))
+        prev = ckptRdd(e2)
+        e = e2
+      } finally keep.unpersist(blocking = false)
     }
-    degrees(e).select(col("node"), col("deg").as("core_deg"))
+    // the output is node-sized — checkpoint IT and free the final
+    // (edge-sized) round instead of letting it back the returned frame
+    val out = endpointDegrees(e)
+      .select(col("node"), col("deg").as("core_deg"))
+      .localCheckpoint(eager = true)
+    prev.foreach(_.unpersist(blocking = false))
+    out
   }
 
   // ------------------------------------------------------------------
@@ -255,45 +305,40 @@ object Graphs {
     *         (a, b) not an edge */
   def linkPredict(spark: SparkSession, edges: DataFrame,
       maxPivotDegree: Long = 10000L, minCommon: Long = 1L): DataFrame = {
-    val e = edges
-      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val e = canonicalUndirected(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val deg = endpointDegrees(e)
       // adjacency restricted to pivots under the cap, with the pivot's
-      // degree riding along for the RA contribution
-      // adj feeds BOTH sides of the wedge self-join — uncached, Spark
-      // executes the union+degree-join derivation twice (subplans are
-      // not deduped; scale-bug pattern 1)
+      // degree riding along for the RA contribution. adj feeds BOTH
+      // sides of the wedge self-join — uncached, Spark executes the
+      // union+degree-join derivation twice (subplans are not deduped;
+      // scale-bug pattern 1); the nested finally frees it exception or
+      // not (a failed job must not leak an edge-scale cache into a
+      // long-lived session)
       val adj = e.select(col("u").as("w"), col("v").as("n"))
         .unionByName(e.select(col("v").as("w"), col("u").as("n")))
         .join(deg.select(col("node").as("w"), col("deg").as("degw")),
           Seq("w"))
         .where(col("degw") <= maxPivotDegree)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val a1 = adj.select(col("w"), col("n").as("a"), col("degw"))
-      val a2 = adj.select(col("w"), col("n").as("b"))
-      val scored = a1.join(a2, Seq("w"))
-        .where(col("a") < col("b"))
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("common"),
-          sum(expr("1000000 div degw")).as("ra_ppm"))
-        .where(col("common") >= minCommon)
-      // materialize before the finally frees the edge cache (the e
-      // subplan is referenced three times — uncached it would re-derive
-      // per reference, the round-4 subplan lesson)
-      val out = scored.join(e,
-          scored("a") === e("u") && scored("b") === e("v"), "left_anti")
-        .select(col("a"), col("b"), col("common"), col("ra_ppm"))
-        .localCheckpoint(eager = true)
-      adj.unpersist(blocking = false)
-      out
+      try {
+        val a1 = adj.select(col("w"), col("n").as("a"), col("degw"))
+        val a2 = adj.select(col("w"), col("n").as("b"))
+        val scored = a1.join(a2, Seq("w"))
+          .where(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("common"),
+            sum(expr("1000000 div degw")).as("ra_ppm"))
+          .where(col("common") >= minCommon)
+        // materialize before the finallys free the caches (the e
+        // subplan is referenced three times — uncached it would
+        // re-derive per reference, the round-4 subplan lesson)
+        scored.join(e,
+            scored("a") === e("u") && scored("b") === e("v"), "left_anti")
+          .select(col("a"), col("b"), col("common"), col("ra_ppm"))
+          .localCheckpoint(eager = true)
+      } finally adj.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
 
@@ -329,12 +374,7 @@ object Graphs {
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
     val parts = spark.sessionState.conf.numShufflePartitions
-    val und = edges
-      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val und = canonicalUndirected(edges)
     val sym = und.select(col("u"), col("v"))
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .repartition(parts, col("v"))
@@ -342,7 +382,10 @@ object Graphs {
     try {
       var labels = sym.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
-      for (_ <- 1 to iters) {
+      // same periodic lineage cut as fixpointRank (iterations past ~8
+      // nested rounds must not accumulate in one Catalyst plan)
+      var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
+      for (i <- 1 to iters) {
         labels = sym
           .join(labels.withColumnRenamed("node", "v"), Seq("v"))
           .groupBy(col("u").as("node"), col("label"))
@@ -351,8 +394,16 @@ object Graphs {
           .agg(min(struct((-col("cnt")).as("negCnt"),
             col("label").as("label"))).as("best"))
           .select(col("node"), col("best.label").as("label"))
+        if (i % 8 == 0 && i < iters) {
+          val cut = labels.localCheckpoint(eager = true)
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = ckptRdd(cut)
+          labels = cut
+        }
       }
-      labels.localCheckpoint(eager = true)
+      val out = labels.localCheckpoint(eager = true)
+      prevCut.foreach(_.unpersist(blocking = false))
+      out
     } finally sym.unpersist(blocking = false)
   }
 
@@ -396,17 +447,10 @@ object Graphs {
     * @return (node BIGINT, deg BIGINT, tri BIGINT, lcc_ppm BIGINT) */
   def triangleStats(spark: SparkSession, edges: DataFrame,
       orientByDegree: Boolean = true): DataFrame = {
-    val e = edges
-      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val e = canonicalUndirected(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val deg = endpointDegrees(e)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         // (degree, id) orientation key — struct comparison is

@@ -269,41 +269,56 @@ object Round7Queries {
        |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Shared CTE prefix mirroring triEdges (the q111/q114/q115 graph):
+    * ck/raw/e down to the canonical undirected edge set. `extraArms`
+    * appends additional raw-edge arms (q115's dense-block edges) —
+    * keeping ONE SQL mirror of the Scala edge generator, so a change
+    * to triEdges cannot silently desynchronize one oracle (the drift
+    * class prGraphSql already prevents for q110/q112). */
+  private def triGraphSql(extraArms: String = ""): String =
+    s"""ck AS (SELECT c_custkey AS k FROM customer),
+       |raw AS (
+       |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
+       |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
+       |  UNION ALL SELECT k, (k // 100) * 100 FROM ck
+       |    WHERE k % 100 <> 0$extraArms),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b)""".stripMargin
+
+  /** The two q115-only dense arms (mirrors kcoreEdges' additions). */
+  private val kcoreExtraArmsSql: String =
+    """
+      |  UNION ALL SELECT k, k + 3 FROM ck
+      |    WHERE (k // 100) % 2 = 0 AND k % 30 < 27
+      |  UNION ALL SELECT k, k + 4 FROM ck
+      |    WHERE (k // 100) % 2 = 0 AND k % 30 < 26""".stripMargin
+
   /** q115 replay: 12 peel rounds unrolled by the loop trick — k{r} is
     * the surviving node set after recomputing degrees on e{r-1}, e{r}
     * the induced edge set; both MATERIALIZED (each is referenced twice
     * in its round and once downstream). */
   private def kcoreOracleSql(k: Long, rounds: Int): String = {
+    def ename(r: Int): String = if (r == 0) "e" else s"e$r"
     val rs = (1 to rounds).map { r =>
       s"""k$r AS MATERIALIZED (
          |  SELECT node FROM (
          |    SELECT node, COUNT(*) AS deg FROM (
-         |      SELECT u AS node FROM e${r - 1}
-         |      UNION ALL SELECT v AS node FROM e${r - 1})
+         |      SELECT u AS node FROM ${ename(r - 1)}
+         |      UNION ALL SELECT v AS node FROM ${ename(r - 1)})
          |    GROUP BY node)
          |  WHERE deg >= $k),
          |e$r AS MATERIALIZED (
-         |  SELECT u, v FROM e${r - 1}
+         |  SELECT u, v FROM ${ename(r - 1)}
          |  WHERE u IN (SELECT node FROM k$r)
          |    AND v IN (SELECT node FROM k$r))""".stripMargin
     }.mkString(",\n")
     s"""WITH
-       |ck AS (SELECT c_custkey AS k FROM customer),
-       |raw AS (
-       |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
-       |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
-       |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0
-       |  UNION ALL SELECT k, k + 3 FROM ck
-       |    WHERE (k // 100) % 2 = 0 AND k % 30 < 27
-       |  UNION ALL SELECT k, k + 4 FROM ck
-       |    WHERE (k // 100) % 2 = 0 AND k % 30 < 26),
-       |e0 AS MATERIALIZED (
-       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-       |  FROM raw WHERE a <> b),
+       |${triGraphSql(kcoreExtraArmsSql)},
        |$rs
        |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
-       |  SELECT u AS node FROM e$rounds
-       |  UNION ALL SELECT v AS node FROM e$rounds)
+       |  SELECT u AS node FROM ${ename(rounds)}
+       |  UNION ALL SELECT v AS node FROM ${ename(rounds)})
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
@@ -351,15 +366,8 @@ object Round7Queries {
     // (1000000 // deg sums exactly), mirroring linkPredict line by
     // line.
     "q114_link_prediction" ->
-      """WITH
-        |ck AS (SELECT c_custkey AS k FROM customer),
-        |raw AS (
-        |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
-        |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
-        |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
-        |e AS MATERIALIZED (
-        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-        |  FROM raw WHERE a <> b),
+      s"""WITH
+        |${triGraphSql()},
         |deg AS (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
@@ -386,15 +394,8 @@ object Round7Queries {
     // enumerate each triangle exactly once (orientation invariance).
     // lcc in fixed-point ppm, all-BIGINT, mirroring the q110 regime.
     "q111_triangles" ->
-      """WITH
-        |ck AS (SELECT c_custkey AS k FROM customer),
-        |raw AS (
-        |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 30 <> 29
-        |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 30 < 28
-        |  UNION ALL SELECT k, (k // 100) * 100 FROM ck WHERE k % 100 <> 0),
-        |e AS MATERIALIZED (
-        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-        |  FROM raw WHERE a <> b),
+      s"""WITH
+        |${triGraphSql()},
         |deg AS MATERIALIZED (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
