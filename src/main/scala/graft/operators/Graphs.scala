@@ -408,6 +408,87 @@ object Graphs {
   }
 
   // ------------------------------------------------------------------
+  // Deterministic random walks (embedding-training corpus generation)
+  // ------------------------------------------------------------------
+
+  /** DeepWalk-style random-walk corpus over an undirected graph, made
+    * fully DETERMINISTIC: at step t, walk w standing on node cur moves
+    * to the neighbor n minimizing
+    * `(xxhash64(concat_ws(":", w, t, n)), n)` — a pure function of
+    * (walk id, step, candidate), so the "randomness" is a keyed hash,
+    * not an RNG. That one design choice is what makes the operator a
+    * database operator instead of a simulation: no per-walk RNG state
+    * ships between stages, any walk can be recomputed in isolation
+    * (restartability — re-running a failed partition CANNOT change any
+    * other walk), shuffle/visit order is irrelevant to the result, and
+    * the whole corpus hash-oracles against an unrolled SQL replay (the
+    * repo's bit-exact XXH64 CTE chain). Hash quality stands in for
+    * uniformity: across steps the (w, t, n) keys are distinct, so
+    * choices decorrelate the way DeepWalk needs — while staying
+    * auditable, the property a 100-TB training-corpus run actually
+    * requires (re-generate byte-identical walks months later).
+    *
+    * Scale shape: the adjacency (edge-sized) is cached and partitioned
+    * ONCE on its join key; each step shuffles only the walk frontier
+    * (walk-count-sized, NOT edge-sized) to the adjacency partitioning,
+    * fans out to the candidate set (frontier × degree), and collapses it
+    * with a map-side-combinable min(struct(hash, n)) aggregate — one
+    * 16-byte pair per walk per partition crosses the wire, so a hub's
+    * million candidates combine locally exactly like the LPA argmax.
+    * Paths accumulate as strings (≈ digits·L bytes per walk; L ≤ 32 by
+    * contract); iterations past 8 get the house lineage cut.
+    *
+    * Starts that never appear in the graph are dropped (semi-join); on a
+    * symmetric adjacency every reachable node has a neighbor, so no walk
+    * dead-ends and every surviving start yields a full L-step path.
+    *
+    * @param starts DataFrame with a castable-to-long `node` column; the
+    *   walk id IS the start node (one walk per start)
+    * @param length number of steps L in [1, 32]
+    * @return (walk BIGINT, path STRING) — path = L+1 space-joined node
+    *   ids starting at the walk's start node */
+  def randomWalks(spark: SparkSession, edges: DataFrame,
+      starts: DataFrame, length: Int): DataFrame = {
+    require(length >= 1 && length <= 32, s"length=$length out of [1,32]")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val und = canonicalUndirected(edges)
+    val adj = und.select(col("u").as("w"), col("v").as("nxt"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("nxt")))
+      .repartition(parts, col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var walks = starts
+        .selectExpr("CAST(node AS BIGINT) AS walk")
+        .join(adj.select(col("w").as("walk")).distinct(),
+          Seq("walk"), "left_semi")
+        .select(col("walk"), col("walk").as("cur"),
+          col("walk").cast("string").as("path"))
+      var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
+      for (t <- 1 to length) {
+        walks = walks
+          .join(adj, walks("cur") === adj("w"))
+          .groupBy("walk", "path")
+          .agg(min(struct(
+            xxhash64(concat_ws(":", col("walk"), lit(t), col("nxt")))
+              .as("h"),
+            col("nxt").as("nxt"))).as("best"))
+          .select(col("walk"), col("best.nxt").as("cur"),
+            concat_ws(" ", col("path"), col("best.nxt")).as("path"))
+        if (t % 8 == 0 && t < length) {
+          val cut = walks.localCheckpoint(eager = true)
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = ckptRdd(cut)
+          walks = cut
+        }
+      }
+      val out = walks.select(col("walk"), col("path"))
+        .localCheckpoint(eager = true)
+      prevCut.foreach(_.unpersist(blocking = false))
+      out
+    } finally adj.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------
   // Triangle counting / local clustering coefficient
   // ------------------------------------------------------------------
 

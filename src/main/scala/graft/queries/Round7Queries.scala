@@ -179,6 +179,43 @@ object Round7Queries {
           count(lit(1)).over(Window.partitionBy(col("label")))
             .as("csize"))
         .orderBy("node")
+    }),
+
+    // Deterministic random-walk corpus over q111's graph (DeepWalk
+    // input generation): one 4-step walk per k%7==0 start, each step
+    // choosing the neighbor minimizing (xxhash64("walk:step:cand"),
+    // cand) — a keyed hash, not an RNG, so the corpus is reproducible
+    // and the whole thing hash-oracles (the oracle replays XXH64
+    // bit-exactly per step via XxHash64Sql.hashCtes).
+    "q116_random_walks" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val starts = c.where(col("k") % 7 === 0).select(col("k").as("node"))
+      Graphs.randomWalks(s, triEdges(c), starts, length = 4)
+        .orderBy("walk")
+    }),
+
+    // Skip-gram training pairs from the q116 walk corpus (window ±2):
+    // the operator composition a graph-embedding pipeline actually
+    // materializes — walks → (center, context) cooccurrence counts.
+    // Spark re-splits the emitted paths (positions via posexplode);
+    // the oracle never parses strings — it reads each step's node
+    // straight from the per-step walk CTEs, a structurally different
+    // derivation of the same positions.
+    "q117_skipgram_pairs" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val starts = c.where(col("k") % 7 === 0).select(col("k").as("node"))
+      val walks = Graphs.randomWalks(s, triEdges(c), starts, length = 4)
+      val pos = walks.select(col("walk"),
+          posexplode(split(col("path"), " ")).as(Seq("pos", "nodeS")))
+        .select(col("walk"), col("pos"), col("nodeS").cast("long").as("node"))
+      val p2 = pos.select(col("walk"), col("pos").as("pos2"),
+        col("node").as("context"))
+      pos.join(p2, Seq("walk"))
+        .where(col("pos2") =!= col("pos") &&
+          abs(col("pos2") - col("pos")) <= 2)
+        .groupBy(col("node").as("center"), col("context"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("center", "context")
     }))
 
   /** Unrolled SQL replay of Graphs.pageRank — generated from the SAME
@@ -354,8 +391,65 @@ object Round7Queries {
        |FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** q116/q117 replay: the walk unrolled step by step. Step t's
+    * candidate CTE fans walk frontier × adjacency, builds the SAME
+    * "walk:step:cand" key string the Spark side hashes, runs one
+    * bit-exact XXH64 chain over it (XxHash64Sql.hashCtes, stage names
+    * prefixed s{t}_ so four chains coexist in one WITH clause), and
+    * picks per walk by ROW_NUMBER ordered (h, nxt) — the SQL spelling
+    * of min(struct(hash, nxt)). Returns the full CTE list up to w$len
+    * (walk, cur, path) so q116 (paths) and q117 (positions, read
+    * straight from the per-step CTEs — no string parsing) share one
+    * generator and cannot drift. */
+  private def walkCtesSql(length: Int): String = {
+    val steps = (1 to length).map { t =>
+      val (chain, fin) = XxHash64Sql.hashCtes(s"c$t", "key",
+        Seq("walk", "path", "nxt"), s"s${t}_")
+      s"""c$t AS (
+         |  SELECT w.walk AS walk, w.path AS path, a.nxt AS nxt,
+         |    concat(w.walk, ':', $t, ':', a.nxt) AS key
+         |  FROM w${t - 1} w JOIN adj a ON a.w = w.cur),
+         |$chain,
+         |w$t AS MATERIALIZED (
+         |  SELECT walk, nxt AS cur, concat(path, ' ', nxt) AS path FROM (
+         |    SELECT walk, path, nxt,
+         |      ROW_NUMBER() OVER (PARTITION BY walk ORDER BY h, nxt) AS rn
+         |    FROM $fin) picked
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${triGraphSql()},
+       |adj AS MATERIALIZED (
+       |  SELECT u AS w, v AS nxt FROM e
+       |  UNION ALL SELECT v AS w, u AS nxt FROM e),
+       |w0 AS MATERIALIZED (
+       |  SELECT k AS walk, k AS cur, CAST(k AS VARCHAR) AS path FROM ck
+       |  WHERE k % 7 = 0 AND k IN (SELECT w FROM adj)),
+       |$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q110_pagerank" -> pageRankOracleSql(iters = 5, scale = 1000000000000L),
+    "q116_random_walks" ->
+      s"""WITH
+         |${walkCtesSql(4)}
+         |SELECT walk, path FROM w4 ORDER BY walk""".stripMargin,
+
+    // q117: positions come from the per-step walk CTEs (cur at step t),
+    // NOT from re-parsing the path string the Spark side splits — a
+    // structurally different derivation of the same sequence.
+    "q117_skipgram_pairs" ->
+      s"""WITH
+         |${walkCtesSql(4)},
+         |pos AS MATERIALIZED (
+         |${(0 to 4).map(t =>
+              s"  SELECT walk, $t AS pos, cur FROM w$t")
+             .mkString("\n  UNION ALL\n")}),
+         |pr AS (
+         |  SELECT p1.cur AS center, p2.cur AS context
+         |  FROM pos p1 JOIN pos p2 ON p1.walk = p2.walk
+         |    AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) <= 2)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM pr GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
     "q112_personalized_pagerank" ->
       pprOracleSql(iters = 5, scale = 1000000000000L),
     "q113_label_propagation" -> lpaOracleSql(iters = 4),

@@ -60,6 +60,17 @@ object XxHash64Sql {
     * internal state columns (nm, n, t, h). */
   def hashCte(table: String, col: String,
       carry: Seq[String]): (String, String) = {
+    val (list, fin) = hashCtes(table, col, carry, "")
+    (s"WITH $list", fin)
+  }
+
+  /** Like [[hashCte]] but WITHOUT the leading `WITH`, and with every
+    * internal CTE name prefixed — so several hash chains can coexist in
+    * ONE query's WITH clause (the random-walk oracle instantiates one
+    * chain per walk step; unprefixed, the second chain's `base`/`x0`
+    * would collide with the first's). */
+  def hashCtes(table: String, col: String, carry: Seq[String],
+      prefix: String): (String, String) = {
     // k and hx are stage-scratch columns: they are not in the carry-through
     // list, so a carry with either name would be silently OVERWRITTEN by
     // hash state rather than rejected — guard all six internal names
@@ -74,14 +85,14 @@ object XxHash64Sql {
         (carry ++ Seq("nm", "n", "t", "h")).filterNot(overridden)
       val cols = (kept ++ exprs.map { case (c, e) => s"$e AS $c" })
         .mkString(", ")
-      val prev = if (i == 0) "base" else s"x${i - 1}"
-      stages += s"x$i AS (SELECT $cols FROM $prev)"
+      val prev = if (i == 0) s"${prefix}base" else s"${prefix}x${i - 1}"
+      stages += s"${prefix}x$i AS (SELECT $cols FROM $prev)"
       i += 1
     }
 
     val carrySel = carry.map(c => s"$c, ").mkString
     val base =
-      s"base AS (SELECT $carrySel$col AS nm, strlen($col) AS n, 0 AS t, " +
+      s"${prefix}base AS (SELECT $carrySel$col AS nm, strlen($col) AS n, 0 AS t, " +
         s"CASE WHEN strlen($col) < 32 THEN ((42::HUGEINT + " +
         s"${java.lang.Long.toUnsignedString(P5)}::HUGEINT" +
         s" + strlen($col)::HUGEINT) % $M64) END AS h FROM $table)"
@@ -132,7 +143,7 @@ object XxHash64Sql {
     stages(stages.length - 1) = stages.last
       .replaceFirst("AS \\(SELECT", "AS MATERIALIZED (SELECT")
 
-    (s"WITH $base,\n" + stages.mkString(",\n"), s"x${i - 1}")
+    (s"$base,\n" + stages.mkString(",\n"), s"${prefix}x${i - 1}")
   }
 
   /** `pmod(h, n)` over the signed hash column — Spark's pmod replayed. */

@@ -465,6 +465,113 @@ class Round7Spec extends SparkTestBase {
     assert(gotNaive == got)
   }
 
+  /** Sequential driver-side walk replay — the SAME keyed-hash step rule
+    * (catalyst's XxHash64Function on the "walk:step:cand" key, seed 42)
+    * executed as a plain loop over an adjacency Map, so agreement
+    * checks the distributed frontier-join/argmin plan, not a shared
+    * implementation. */
+  private def refWalks(edges: Seq[(Long, Long)], starts: Seq[Long],
+      length: Int): Map[Long, String] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    starts.filter(adj.contains).map { w =>
+      var cur = w
+      val path = new StringBuilder(w.toString)
+      for (t <- 1 to length) {
+        cur = adj(cur).minBy { n =>
+          (XxHash64Function.hash(
+            UTF8String.fromString(s"$w:$t:$n"), StringType, 42L), n)
+        }
+        path.append(' ').append(cur)
+      }
+      w -> path.toString
+    }.toMap
+  }
+
+  test("randomWalks: bit-identical to the sequential keyed-hash replay; " +
+      "out-of-graph starts dropped; edge-presentation invariant") {
+    import spark.implicits._
+    // two 4-cliques bridged by 4—5, a pendant chain 8—9—10, so walks
+    // see choice-rich nodes (deg 3-4) and forced moves (deg 1)
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L), (8L, 9L), (9L, 10L))
+    val starts = Seq(1L, 5L, 10L, 999L) // 999 is not in the graph
+    val got = graft.operators.Graphs
+      .randomWalks(spark, edges.toDF("src", "dst"),
+        starts.toDF("node"), length = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = refWalks(edges, starts, length = 6)
+    assert(got == want)
+    assert(!got.contains(999L), "out-of-graph start must be dropped")
+    assert(got.keySet == Set(1L, 5L, 10L))
+    // every path is length+1 tokens starting at the walk id, each hop
+    // a real edge
+    val undSet = (k4a ++ k4b ++ Seq((4L, 5L), (8L, 9L), (9L, 10L)))
+      .flatMap(p => Seq(p, p.swap)).toSet
+    for ((w, p) <- got) {
+      val toks = p.split(" ").map(_.toLong)
+      assert(toks.length == 7 && toks.head == w)
+      toks.sliding(2).foreach { case Array(a, b) =>
+        assert(undSet((a, b)), s"hop $a->$b is not an edge")
+      }
+    }
+    // determinism under presentation: duplicated + reversed edges and a
+    // different start order change nothing (the step rule is a pure
+    // function of (walk, step, candidate))
+    val messy = edges.map(_.swap) ++ edges ++ edges
+    val got2 = graft.operators.Graphs
+      .randomWalks(spark, messy.toDF("src", "dst"),
+        starts.reverse.toDF("node"), length = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == got)
+    // walks decorrelate: starts 1 and 5 sit in symmetric cliques but
+    // their hash streams differ, so the SUFFIXES diverge (not just the
+    // start token) — guards against a degenerate constant-choice rule
+    assert(got(1L).split(" ").drop(1).toSeq !=
+      got(5L).split(" ").drop(1).toSeq)
+  }
+
+  test("skip-gram pairs from a hand-checked walk window") {
+    import spark.implicits._
+    // one deterministic 2-step walk on a triangle: replay gives the
+    // exact path; window ±2 over 3 positions yields every ordered pair
+    // with multiplicity 1 except the (pos0,pos2) pair also in range
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val walks = graft.operators.Graphs
+      .randomWalks(spark, edges.toDF("src", "dst"),
+        Seq(1L).toDF("node"), length = 2)
+      .collect()
+    assert(walks.length == 1)
+    val toks = walks.head.getString(1).split(" ").map(_.toLong)
+    assert(toks.length == 3)
+    // the q117 shape: ordered (center, context) counts within ±2 of 3
+    // positions = all 6 ordered pairs of distinct positions
+    val want = (for {
+      i <- toks.indices; j <- toks.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (toks(i), toks(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pos = walks.head.getString(1).split(" ").zipWithIndex
+      .map { case (n, i) => (1L, i, n.toLong) }.toSeq
+      .toDF("walk", "pos", "node")
+    val p2 = pos.select(col("walk"), col("pos").as("pos2"),
+      col("node").as("context"))
+    val got = pos.join(p2, Seq("walk"))
+      .where(col("pos2") =!= col("pos") &&
+        abs(col("pos2") - col("pos")) <= 2)
+      .groupBy(col("node"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+  }
+
   test("resumableRun: maxIter abandon KEEPS the checkpoint; a second " +
       "call resumes from the last committed round and converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ccr2").toString
