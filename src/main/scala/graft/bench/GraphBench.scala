@@ -155,6 +155,23 @@ object GraphBench {
       // scalastyle:on println
       w
     }.min
+    // random walks: one 8-step walk from every 7th node — frontier is
+    // walk-sized per step, candidates fan out frontier × degree and
+    // collapse in the map-side argmin combine
+    var walkRows = -1L
+    val wallWalks = (1 to 2).map { trial =>
+      quiesce()
+      val starts = spark.range(nTri).where("id % 7 = 0")
+        .selectExpr("id AS node")
+      val t0 = System.nanoTime()
+      walkRows = Graphs.randomWalks(spark, tedges, starts, length = 8)
+        .count()
+      val w = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"[walks] trial=$trial wall=$w%.2f s walks=$walkRows")
+      // scalastyle:on println
+      w
+    }.min
     spark.stop()
 
     val json =
@@ -167,7 +184,8 @@ object GraphBench {
         s""""lpa":{"iters":4,"wall_s":$wallLpa},""" +
         s""""linkpredict":{"cap":10,"pairs":$lpRows,"wall_s":$wallLp},""" +
         s""""kcore":{"k":5,"rounds":8,"survivors":$coreRows,""" +
-        s""""wall_s":$wallCore}}"""
+        s""""wall_s":$wallCore},""" +
+        s""""walks":{"length":8,"walks":$walkRows,"wall_s":$wallWalks}}"""
     // scalastyle:off println
     println(json)
     // scalastyle:on println
