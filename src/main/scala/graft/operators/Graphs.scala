@@ -408,6 +408,83 @@ object Graphs {
   }
 
   // ------------------------------------------------------------------
+  // Bounded multi-source BFS (nearest-seed / graph-Voronoi assignment)
+  // ------------------------------------------------------------------
+
+  /** Nearest-seed assignment by synchronous multi-source BFS over an
+    * undirected graph: every node within `maxDepth` hops of a seed gets
+    * (dist = hop distance to its closest seed, seed = that seed, ties
+    * at equal distance broken by the SMALLEST seed id). The integer
+    * (dist, seed) ordering makes the whole assignment deterministic and
+    * hash-oracleable against an unrolled SQL relaxation. Nodes beyond
+    * maxDepth are ABSENT from the output by design — at KG scale the
+    * neighborhood of the seed set is the result; materializing
+    * "unreached" for every other node would dwarf it (the q109 rule).
+    *
+    * Scale shape — frontier-DELTA iteration, not whole-set relaxation:
+    * with unit edge weights, synchronous BFS settles a node the first
+    * round it is reached (min(struct(dist, seed)) over that round's
+    * arrivals), and no later round can improve a settled node (later
+    * arrivals have strictly larger dist). So each round joins ONLY the
+    * newly-settled frontier against the once-cached adjacency, combines
+    * arrivals map-side per node, and anti-joins the settled set —
+    * total work is the edges within maxDepth hops of the seeds, not
+    * maxDepth × |E|. The settled set accumulates via per-round
+    * localCheckpoint (the house round store: lineage cut, predecessor
+    * blocks freed as soon as the next round materializes).
+    *
+    * @param seeds DataFrame with a castable-to-long `node` column;
+    *   seeds absent from the graph are dropped (semi-join)
+    * @param maxDepth BFS depth bound in [1, 32]
+    * @return (node BIGINT, dist BIGINT, seed BIGINT) for reached nodes */
+  def nearestSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 32,
+      s"maxDepth=$maxDepth out of [1,32]")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val und = canonicalUndirected(edges)
+    val sym = und.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("n")))
+      .repartition(parts, col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = seeds.selectExpr("CAST(node AS BIGINT) AS node").distinct()
+        .join(sym.select(col("w").as("node")).distinct(),
+          Seq("node"), "left_semi")
+        .select(col("node"), lit(0L).as("dist"), col("node").as("seed"))
+      var labels = init.localCheckpoint(eager = true)
+      var prevLabels = ckptRdd(labels)
+      var frontier = labels
+      var prevFrontier: Option[org.apache.spark.rdd.RDD[_]] = None
+      for (r <- 1 to maxDepth) {
+        val arrivals = frontier
+          .join(sym, frontier("node") === sym("w"))
+          .groupBy(sym("n").as("node"))
+          .agg(min(struct(lit(r.toLong).as("dist"), col("seed").as("seed")))
+            .as("best"))
+          .select(col("node"), col("best.dist").as("dist"),
+            col("best.seed").as("seed"))
+        // both checkpoints materialize EAGERLY while the previous
+        // generation's blocks are still alive — only then is it safe to
+        // free them (a lazy plan over a freed localCheckpoint cannot
+        // recompute: the lineage was truncated at the checkpoint)
+        val newFrontier = arrivals.join(labels, Seq("node"), "left_anti")
+          .localCheckpoint(eager = true)
+        val next = labels.unionByName(newFrontier)
+          .localCheckpoint(eager = true)
+        prevLabels.foreach(_.unpersist(blocking = false))
+        prevFrontier.foreach(_.unpersist(blocking = false))
+        prevLabels = ckptRdd(next)
+        prevFrontier = ckptRdd(newFrontier)
+        labels = next
+        frontier = newFrontier
+      }
+      prevFrontier.foreach(_.unpersist(blocking = false))
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic random walks (embedding-training corpus generation)
   // ------------------------------------------------------------------
 

@@ -201,6 +201,21 @@ object Round7Queries {
     // the oracle never parses strings — it reads each step's node
     // straight from the per-step walk CTEs, a structurally different
     // derivation of the same positions.
+    // Bounded multi-source BFS / nearest-seed assignment over q113's
+    // community graph: every node within 4 hops of a 100-block leader
+    // gets (hop distance, closest leader), ties at equal distance to
+    // the smallest leader id — the graph-Voronoi partition a KG
+    // pipeline uses to assign entities to hub communities. Nodes beyond
+    // depth 4 are absent by design (the q109 "don't materialize the
+    // complement" rule); the frontier-delta iteration means each round
+    // touches only newly-reached nodes' edges.
+    "q118_nearest_seed" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val seeds = c.where(col("k") % 100 === 0).select(col("k").as("node"))
+      Graphs.nearestSeeds(s, lpaEdges(c), seeds, maxDepth = 4)
+        .orderBy("node")
+    }),
+
     "q117_skipgram_pairs" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
       val starts = c.where(col("k") % 7 === 0).select(col("k").as("node"))
@@ -359,6 +374,22 @@ object Round7Queries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** Shared CTE prefix mirroring lpaEdges (the q113/q118 graph): ck/raw
+    * down to the canonical undirected edge set `und` and its symmetric
+    * closure `sym` — ONE SQL mirror of the Scala edge generator, the
+    * same drift-prevention contract as prGraphSql/triGraphSql. */
+  private val lpaGraphSql: String =
+    """ck AS (SELECT c_custkey AS k FROM customer),
+      |raw AS (
+      |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 20 <> 19
+      |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 20 < 18
+      |  UNION ALL SELECT k, k + 30 FROM ck WHERE k % 100 = 0),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |sym AS MATERIALIZED (
+      |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)""".stripMargin
+
   /** q113 replay: synchronous LPA rounds unrolled by the same loop
     * trick. The per-round argmax is ROW_NUMBER ordered (cnt DESC,
     * label ASC) — exactly the min(struct(-cnt, label)) the Spark side
@@ -375,20 +406,39 @@ object Round7Queries {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH
-       |ck AS (SELECT c_custkey AS k FROM customer),
-       |raw AS (
-       |  SELECT k AS a, k + 1 AS b FROM ck WHERE k % 20 <> 19
-       |  UNION ALL SELECT k, k + 2 FROM ck WHERE k % 20 < 18
-       |  UNION ALL SELECT k, k + 30 FROM ck WHERE k % 100 = 0),
-       |und AS MATERIALIZED (
-       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-       |  FROM raw WHERE a <> b),
-       |sym AS MATERIALIZED (
-       |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |$lpaGraphSql,
        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
        |$rounds
        |SELECT node, label, COUNT(*) OVER (PARTITION BY label) AS csize
        |FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** q118 replay: whole-set Bellman-Ford relaxation unrolled `depth`
+    * rounds — each round unions the previous label set with every
+    * one-hop extension and keeps the lexicographic (dist, seed) minimum
+    * per node. Structurally different from the Spark side's
+    * frontier-delta iteration (which never revisits settled nodes);
+    * with unit weights both fix the same function at round `depth`. */
+  private def nearestSeedOracleSql(depth: Int): String = {
+    val rounds = (1 to depth).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT node, dist, seed FROM (
+         |    SELECT node, dist, seed, ROW_NUMBER() OVER (
+         |      PARTITION BY node ORDER BY dist, seed) AS rn
+         |    FROM (
+         |      SELECT node, dist, seed FROM b${r - 1}
+         |      UNION ALL
+         |      SELECT s.v AS node, b.dist + 1 AS dist, b.seed AS seed
+         |      FROM b${r - 1} b JOIN sym s ON s.u = b.node) cand) ranked
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$lpaGraphSql,
+       |b0 AS (
+       |  SELECT k AS node, CAST(0 AS BIGINT) AS dist, k AS seed FROM ck
+       |  WHERE k % 100 = 0 AND k IN (SELECT u FROM sym)),
+       |$rounds
+       |SELECT node, dist, seed FROM b$depth ORDER BY node""".stripMargin
   }
 
   /** q116/q117 replay: the walk unrolled step by step. Step t's
@@ -453,6 +503,7 @@ object Round7Queries {
     "q112_personalized_pagerank" ->
       pprOracleSql(iters = 5, scale = 1000000000000L),
     "q113_label_propagation" -> lpaOracleSql(iters = 4),
+    "q118_nearest_seed" -> nearestSeedOracleSql(depth = 4),
     "q115_kcore" -> kcoreOracleSql(k = 5L, rounds = 12),
 
     // q114: the q111 graph's canonical edges → capped adjacency →

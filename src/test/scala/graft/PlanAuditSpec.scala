@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkTestBase {
     // that drags c_name/c_address/c_comment through every fixpoint
     // round reads ~20× the bytes it needs
     for (q <- Seq("q110_pagerank", "q111_triangles",
-        "q113_label_propagation", "q114_link_prediction")) {
+        "q113_label_propagation", "q114_link_prediction",
+        "q116_random_walks", "q117_skipgram_pairs",
+        "q118_nearest_seed")) {
       val plan = executedPlan(q)
       assert(!plan.contains("c_name") && !plan.contains("c_address") &&
         !plan.contains("c_comment"),

@@ -537,6 +537,62 @@ class Round7Spec extends SparkTestBase {
       got(5L).split(" ").drop(1).toSeq)
   }
 
+  /** Driver-side multi-source BFS: layered expansion over an adjacency
+    * Map with (dist, seed) lexicographic settling — the independent
+    * replay for nearestSeeds. */
+  private def refNearestSeeds(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      depth: Int): Map[Long, (Long, Long)] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val settled = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var frontier = seeds.distinct.filter(adj.contains)
+      .map(s => s -> (0L, s)).toMap
+    settled ++= frontier
+    for (r <- 1 to depth) {
+      val arrivals = scala.collection.mutable.Map.empty[Long, Long]
+      for ((v, (_, s)) <- frontier; n <- adj(v))
+        if (!settled.contains(n))
+          arrivals(n) = arrivals.get(n).fold(s)(math.min(_, s))
+      frontier = arrivals.map { case (n, s) => n -> (r.toLong, s) }.toMap
+      settled ++= frontier
+    }
+    settled.toMap
+  }
+
+  test("nearestSeeds: matches the driver BFS replay; equal-distance tie " +
+      "goes to the smaller seed; beyond-depth nodes absent; " +
+      "out-of-graph seeds dropped") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6—7 with seeds 1 and 7: node 4 is equidistant
+    // (dist 3) from both — tie must resolve to seed 1; plus a far tail
+    // 7—8—9—10—11—12 so depth 4 leaves 12 unreached from either seed
+    val edges = (1L to 6L).map(i => (i, i + 1)) ++
+      (7L to 11L).map(i => (i, i + 1))
+    val seeds = Seq(1L, 7L, 999L) // 999 not in the graph
+    val got = graft.operators.Graphs
+      .nearestSeeds(spark, edges.toDF("src", "dst"),
+        seeds.toDF("node"), maxDepth = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = refNearestSeeds(edges, seeds, depth = 4)
+    assert(got == want)
+    assert(got(4L) == ((3L, 1L)), "equidistant tie must pick seed 1")
+    assert(got(11L) == ((4L, 7L)))
+    assert(!got.contains(12L), "node 12 is 5 hops out — must be absent")
+    assert(!got.contains(999L))
+    assert(got(1L) == ((0L, 1L)) && got(7L) == ((0L, 7L)))
+    // presentation invariance: reversed + duplicated edges, seed dups
+    val messy = edges.map(_.swap) ++ edges ++ edges
+    val got2 = graft.operators.Graphs
+      .nearestSeeds(spark, messy.toDF("src", "dst"),
+        (seeds ++ seeds).toDF("node"), maxDepth = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == got)
+  }
+
   test("skip-gram pairs from a hand-checked walk window") {
     import spark.implicits._
     // one deterministic 2-step walk on a triangle: replay gives the
