@@ -172,6 +172,22 @@ object GraphBench {
       // scalastyle:on println
       w
     }.min
+    // multi-source BFS from the 500-block leaders, depth 6 — the
+    // frontier-delta shape at a reached-set of ~all nodes
+    var bfsRows = -1L
+    val wallBfs = (1 to 2).map { trial =>
+      quiesce()
+      val seeds = spark.range(nTri).where("id % 500 = 0")
+        .selectExpr("id AS node")
+      val t0 = System.nanoTime()
+      bfsRows = Graphs.nearestSeeds(spark, tedges, seeds, maxDepth = 6)
+        .count()
+      val w = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"[bfs] trial=$trial wall=$w%.2f s reached=$bfsRows")
+      // scalastyle:on println
+      w
+    }.min
     spark.stop()
 
     val json =
@@ -185,7 +201,8 @@ object GraphBench {
         s""""linkpredict":{"cap":10,"pairs":$lpRows,"wall_s":$wallLp},""" +
         s""""kcore":{"k":5,"rounds":8,"survivors":$coreRows,""" +
         s""""wall_s":$wallCore},""" +
-        s""""walks":{"length":8,"walks":$walkRows,"wall_s":$wallWalks}}"""
+        s""""walks":{"length":8,"walks":$walkRows,"wall_s":$wallWalks},""" +
+        s""""bfs":{"depth":6,"reached":$bfsRows,"wall_s":$wallBfs}}"""
     // scalastyle:off println
     println(json)
     // scalastyle:on println
