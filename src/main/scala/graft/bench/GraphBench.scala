@@ -90,104 +90,64 @@ object GraphBench {
     // warm-up
     Graphs.triangleStats(spark,
       spark.range(100).selectExpr("id AS src", "id + 1 AS dst")).count()
-    var triCount = -1L
-    val wallDeg = (1 to 2).map { trial =>
-      quiesce()
-      val t0 = System.nanoTime()
-      triCount = triTotal(Graphs.triangleStats(spark, tedges))
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[tri-deg] trial=$trial wall=$w%.2f s triangles=$triCount")
-      // scalastyle:on println
-      w
-    }.min
+    // min-of-trials wall + the last trial's row count for one leg
+    def leg(name: String, trials: Int = 2)(body: => Long): (Double, Long) = {
+      var rows = -1L
+      val wall = (1 to trials).map { trial =>
+        quiesce()
+        val t0 = System.nanoTime()
+        rows = body
+        val w = (System.nanoTime() - t0) / 1e9
+        // scalastyle:off println
+        println(f"[$name] trial=$trial wall=$w%.2f s rows=$rows")
+        // scalastyle:on println
+        w
+      }.min
+      (wall, rows)
+    }
+    val (wallDeg, triCount) = leg("tri-deg") {
+      triTotal(Graphs.triangleStats(spark, tedges))
+    }
     // one trial is enough for the naive leg — the point is its order of
     // magnitude, and it is expensive by construction
-    val wallId = {
-      quiesce()
-      val t0 = System.nanoTime()
+    val (wallId, _) = leg("tri-id", trials = 1) {
       val c = triTotal(Graphs.triangleStats(spark, tedges,
         orientByDegree = false))
-      val w = (System.nanoTime() - t0) / 1e9
       require(c == triCount,
         s"orientation changed the triangle total: $c vs $triCount")
-      // scalastyle:off println
-      println(f"[tri-id] wall=$w%.2f s triangles=$c (same total)")
-      // scalastyle:on println
-      w
+      c
     }
-    val wallLpa = (1 to 2).map { trial =>
-      quiesce()
-      val t0 = System.nanoTime()
-      val rows = Graphs.labelPropagation(spark, tedges, iters = 4).count()
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[lpa] trial=$trial wall=$w%.2f s rows=$rows")
-      // scalastyle:on println
-      w
-    }.min
+    val (wallLpa, _) = leg("lpa") {
+      Graphs.labelPropagation(spark, tedges, iters = 4).count()
+    }
     // link prediction under the pivot cap: leaders (deg ~501) and the
     // mega-hub (deg n/149) are excluded, chain pivots (deg ≤ 9) kept —
     // still ~30 candidate pairs per node, so this measures the real
     // dense-local-structure workload. (No uncapped leg: the uncapped
     // blowup is the SAME C(deg, 2) term the triangle A/B measures.)
-    var lpRows = -1L
-    val wallLp = (1 to 2).map { trial =>
-      quiesce()
-      val t0 = System.nanoTime()
-      lpRows = Graphs.linkPredict(spark, tedges, maxPivotDegree = 10L,
+    val (wallLp, lpRows) = leg("linkpredict") {
+      Graphs.linkPredict(spark, tedges, maxPivotDegree = 10L,
         minCommon = 2L).count()
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[linkpredict] trial=$trial wall=$w%.2f s pairs=$lpRows")
-      // scalastyle:on println
-      w
-    }.min
+    }
     // k-core peel: 8 synchronous rounds over the full edge set
-    var coreRows = -1L
-    val wallCore = (1 to 2).map { trial =>
-      quiesce()
-      val t0 = System.nanoTime()
-      coreRows = Graphs.kCore(spark, tedges, k = 5L, rounds = 8).count()
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[kcore] trial=$trial wall=$w%.2f s survivors=$coreRows")
-      // scalastyle:on println
-      w
-    }.min
+    val (wallCore, coreRows) = leg("kcore") {
+      Graphs.kCore(spark, tedges, k = 5L, rounds = 8).count()
+    }
     // random walks: one 8-step walk from every 7th node — frontier is
     // walk-sized per step, candidates fan out frontier × degree and
     // collapse in the map-side argmin combine
-    var walkRows = -1L
-    val wallWalks = (1 to 2).map { trial =>
-      quiesce()
+    val (wallWalks, walkRows) = leg("walks") {
       val starts = spark.range(nTri).where("id % 7 = 0")
         .selectExpr("id AS node")
-      val t0 = System.nanoTime()
-      walkRows = Graphs.randomWalks(spark, tedges, starts, length = 8)
-        .count()
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[walks] trial=$trial wall=$w%.2f s walks=$walkRows")
-      // scalastyle:on println
-      w
-    }.min
+      Graphs.randomWalks(spark, tedges, starts, length = 8).count()
+    }
     // multi-source BFS from the 500-block leaders, depth 6 — the
     // frontier-delta shape at a reached-set of ~all nodes
-    var bfsRows = -1L
-    val wallBfs = (1 to 2).map { trial =>
-      quiesce()
+    val (wallBfs, bfsRows) = leg("bfs") {
       val seeds = spark.range(nTri).where("id % 500 = 0")
         .selectExpr("id AS node")
-      val t0 = System.nanoTime()
-      bfsRows = Graphs.nearestSeeds(spark, tedges, seeds, maxDepth = 6)
-        .count()
-      val w = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"[bfs] trial=$trial wall=$w%.2f s reached=$bfsRows")
-      // scalastyle:on println
-      w
-    }.min
+      Graphs.nearestSeeds(spark, tedges, seeds, maxDepth = 6).count()
+    }
     spark.stop()
 
     val json =

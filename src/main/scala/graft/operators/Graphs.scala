@@ -59,6 +59,21 @@ object Graphs {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
+  /** Symmetric (both-direction) adjacency over the canonical undirected
+    * edge set, columns named (`key`, `value`), repartitioned on `key`
+    * and cached — the build every iterative undirected operator starts
+    * with, shared so the partitioning/caching policy cannot drift
+    * between them. Caller owns the unpersist. */
+  private def symmetricAdjacency(spark: SparkSession, edges: DataFrame,
+      key: String, value: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val und = canonicalUndirected(edges)
+    und.select(col("u").as(key), col("v").as(value))
+      .unionByName(und.select(col("v").as(key), col("u").as(value)))
+      .repartition(parts, col(key))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   // ------------------------------------------------------------------
   // PageRank (fixed-point integer arithmetic, fixed iteration count)
   // ------------------------------------------------------------------
@@ -373,12 +388,8 @@ object Graphs {
   def labelPropagation(spark: SparkSession, edges: DataFrame,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1,32]")
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val und = canonicalUndirected(edges)
-    val sym = und.select(col("u"), col("v"))
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .repartition(parts, col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // key = v (the label-lookup join key), value = u (the adopter)
+    val sym = symmetricAdjacency(spark, edges, "v", "u")
     try {
       var labels = sym.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -425,13 +436,19 @@ object Graphs {
     * with unit edge weights, synchronous BFS settles a node the first
     * round it is reached (min(struct(dist, seed)) over that round's
     * arrivals), and no later round can improve a settled node (later
-    * arrivals have strictly larger dist). So each round joins ONLY the
-    * newly-settled frontier against the once-cached adjacency, combines
-    * arrivals map-side per node, and anti-joins the settled set —
-    * total work is the edges within maxDepth hops of the seeds, not
-    * maxDepth × |E|. The settled set accumulates via per-round
-    * localCheckpoint (the house round store: lineage cut, predecessor
-    * blocks freed as soon as the next round materializes).
+    * arrivals have strictly larger dist). Each round joins ONLY the
+    * newly-settled frontier against the once-cached adjacency and
+    * combines arrivals map-side per node. The "already settled?" check
+    * is frontier-sized too: a neighbor of a dist-(r−1) node has true
+    * dist in {r−2, r−1, r} (undirected unit weights), so anti-joining
+    * the last TWO frontiers is exactly "not yet settled" — the settled
+    * set is never re-shuffled OR re-copied. Per-round frontiers are
+    * node-disjoint eager localCheckpoints (kept alive until the end —
+    * they ARE the result); the output is their one final union, after
+    * which every round's blocks are freed. Total per-round work is
+    * O(frontier edges), total work the edges within maxDepth hops of
+    * the seeds, not maxDepth × |E| and not maxDepth × |reached|. An
+    * exhausted frontier exits early (depth is a bound, not a quota).
     *
     * @param seeds DataFrame with a castable-to-long `node` column;
     *   seeds absent from the graph are dropped (semi-join)
@@ -441,46 +458,49 @@ object Graphs {
       seeds: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 32,
       s"maxDepth=$maxDepth out of [1,32]")
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val und = canonicalUndirected(edges)
-    val sym = und.select(col("u").as("w"), col("v").as("n"))
-      .unionByName(und.select(col("v").as("w"), col("u").as("n")))
-      .repartition(parts, col("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symmetricAdjacency(spark, edges, "w", "n")
     try {
       val init = seeds.selectExpr("CAST(node AS BIGINT) AS node").distinct()
         .join(sym.select(col("w").as("node")).distinct(),
           Seq("node"), "left_semi")
         .select(col("node"), lit(0L).as("dist"), col("node").as("seed"))
-      var labels = init.localCheckpoint(eager = true)
-      var prevLabels = ckptRdd(labels)
-      var frontier = labels
-      var prevFrontier: Option[org.apache.spark.rdd.RDD[_]] = None
-      for (r <- 1 to maxDepth) {
-        val arrivals = frontier
-          .join(sym, frontier("node") === sym("w"))
+        .localCheckpoint(eager = true)
+      val frontiers = scala.collection.mutable.ArrayBuffer(init)
+      var fPrev = init
+      var fPrevPrev: Option[DataFrame] = None
+      var r = 1
+      var exhausted = false
+      while (r <= maxDepth && !exhausted) {
+        val arrivals = fPrev
+          .join(sym, fPrev("node") === sym("w"))
           .groupBy(sym("n").as("node"))
           .agg(min(struct(lit(r.toLong).as("dist"), col("seed").as("seed")))
             .as("best"))
           .select(col("node"), col("best.dist").as("dist"),
             col("best.seed").as("seed"))
-        // both checkpoints materialize EAGERLY while the previous
-        // generation's blocks are still alive — only then is it safe to
-        // free them (a lazy plan over a freed localCheckpoint cannot
-        // recompute: the lineage was truncated at the checkpoint)
-        val newFrontier = arrivals.join(labels, Seq("node"), "left_anti")
-          .localCheckpoint(eager = true)
-        val next = labels.unionByName(newFrontier)
-          .localCheckpoint(eager = true)
-        prevLabels.foreach(_.unpersist(blocking = false))
-        prevFrontier.foreach(_.unpersist(blocking = false))
-        prevLabels = ckptRdd(next)
-        prevFrontier = ckptRdd(newFrontier)
-        labels = next
-        frontier = newFrontier
+        var fresh = arrivals
+          .join(fPrev.select(col("node")), Seq("node"), "left_anti")
+        for (pp <- fPrevPrev)
+          fresh = fresh.join(pp.select(col("node")), Seq("node"),
+            "left_anti")
+        val newFrontier = fresh.localCheckpoint(eager = true)
+        if (newFrontier.isEmpty) {
+          exhausted = true
+          ckptRdd(newFrontier).foreach(_.unpersist(blocking = false))
+        } else {
+          frontiers += newFrontier
+          fPrevPrev = Some(fPrev)
+          fPrev = newFrontier
+        }
+        r += 1
       }
-      prevFrontier.foreach(_.unpersist(blocking = false))
-      labels
+      // one union of node-disjoint per-round frontiers = the settled
+      // set; checkpointing IT is what lets every round's blocks be
+      // freed now instead of backing the returned frame
+      val out = frontiers.reduce(_.unionByName(_))
+        .localCheckpoint(eager = true)
+      frontiers.foreach(f => ckptRdd(f).foreach(_.unpersist(blocking = false)))
+      out
     } finally sym.unpersist(blocking = false)
   }
 
@@ -527,12 +547,7 @@ object Graphs {
   def randomWalks(spark: SparkSession, edges: DataFrame,
       starts: DataFrame, length: Int): DataFrame = {
     require(length >= 1 && length <= 32, s"length=$length out of [1,32]")
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val und = canonicalUndirected(edges)
-    val adj = und.select(col("u").as("w"), col("v").as("nxt"))
-      .unionByName(und.select(col("v").as("w"), col("u").as("nxt")))
-      .repartition(parts, col("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = symmetricAdjacency(spark, edges, "w", "nxt")
     try {
       var walks = starts
         .selectExpr("CAST(node AS BIGINT) AS walk")

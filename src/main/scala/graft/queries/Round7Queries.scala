@@ -201,21 +201,6 @@ object Round7Queries {
     // the oracle never parses strings — it reads each step's node
     // straight from the per-step walk CTEs, a structurally different
     // derivation of the same positions.
-    // Bounded multi-source BFS / nearest-seed assignment over q113's
-    // community graph: every node within 4 hops of a 100-block leader
-    // gets (hop distance, closest leader), ties at equal distance to
-    // the smallest leader id — the graph-Voronoi partition a KG
-    // pipeline uses to assign entities to hub communities. Nodes beyond
-    // depth 4 are absent by design (the q109 "don't materialize the
-    // complement" rule); the frontier-delta iteration means each round
-    // touches only newly-reached nodes' edges.
-    "q118_nearest_seed" -> ((s, d) => {
-      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
-      val seeds = c.where(col("k") % 100 === 0).select(col("k").as("node"))
-      Graphs.nearestSeeds(s, lpaEdges(c), seeds, maxDepth = 4)
-        .orderBy("node")
-    }),
-
     "q117_skipgram_pairs" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
       val starts = c.where(col("k") % 7 === 0).select(col("k").as("node"))
@@ -231,6 +216,21 @@ object Round7Queries {
         .groupBy(col("node").as("center"), col("context"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("center", "context")
+    }),
+
+    // Bounded multi-source BFS / nearest-seed assignment over q113's
+    // community graph: every node within 4 hops of a 100-block leader
+    // gets (hop distance, closest leader), ties at equal distance to
+    // the smallest leader id — the graph-Voronoi partition a KG
+    // pipeline uses to assign entities to hub communities. Nodes beyond
+    // depth 4 are absent by design (the q109 "don't materialize the
+    // complement" rule); the frontier-delta iteration means each round
+    // touches only newly-reached nodes' edges.
+    "q118_nearest_seed" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val seeds = c.where(col("k") % 100 === 0).select(col("k").as("node"))
+      Graphs.nearestSeeds(s, lpaEdges(c), seeds, maxDepth = 4)
+        .orderBy("node")
     }))
 
   /** Unrolled SQL replay of Graphs.pageRank — generated from the SAME

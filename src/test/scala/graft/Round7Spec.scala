@@ -591,6 +591,15 @@ class Round7Spec extends SparkTestBase {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got2 == got)
+    // early exit: depth far beyond the diameter must return the full
+    // reachable set (11 hops settles everything) and terminate via the
+    // exhausted-frontier path, not run 32 empty rounds
+    val got3 = graft.operators.Graphs
+      .nearestSeeds(spark, edges.toDF("src", "dst"),
+        Seq(1L).toDF("node"), maxDepth = 32)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got3 == (1L to 12L).map(n => n -> ((n - 1, 1L))).toMap)
   }
 
   test("skip-gram pairs from a hand-checked walk window") {
