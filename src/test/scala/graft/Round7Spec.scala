@@ -602,6 +602,31 @@ class Round7Spec extends SparkTestBase {
     assert(got3 == (1L to 12L).map(n => n -> ((n - 1, 1L))).toMap)
   }
 
+  test("lineage-cut rounds (iteration > 8) are bit-identical to the " +
+      "replays — the mid-loop localCheckpoint path that no default " +
+      "iteration count reaches") {
+    import spark.implicits._
+    // every iterative graph operator cuts lineage at i % 8 == 0; the
+    // queries/benches run 4-8 rounds, so without this spec the cut
+    // (checkpoint + predecessor-block free mid-loop) would ship
+    // unexecuted. Ring + chords so 10 rounds keep doing real work.
+    val edges = (1L to 12L).map(i => (i, i % 12 + 1)) ++
+      Seq((1L, 7L), (3L, 9L), (2L, 11L))
+    val prGot = graft.operators.Graphs
+      .pageRank(spark, edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prGot == refPageRank(edges, iters = 10))
+    val lpaGot = graft.operators.Graphs
+      .labelPropagation(spark, edges.toDF("src", "dst"), iters = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpaGot == refLpa(edges, iters = 9))
+    val wGot = graft.operators.Graphs
+      .randomWalks(spark, edges.toDF("src", "dst"),
+        Seq(1L, 5L).toDF("node"), length = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wGot == refWalks(edges, Seq(1L, 5L), length = 10))
+  }
+
   test("skip-gram pairs from a hand-checked walk window") {
     import spark.implicits._
     // one deterministic 2-step walk on a triangle: replay gives the
