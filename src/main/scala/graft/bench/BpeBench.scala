@@ -116,6 +116,8 @@ object BpeBench {
       val every = args(3).toInt
       val dir = java.nio.file.Files
         .createTempDirectory("bpe-bench-ckpt").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))))
       val t3 = System.nanoTime()
       val (ck, ckRounds) = BpeSpark.trainMergesBatched(docs, "text",
         nMerges, batch, skipConflicts = false,

@@ -33,6 +33,10 @@ object GraphBench {
     val nCores = if (args.length > 3) args(3).toInt else 8
 
     val work = Files.createTempDirectory("graft-graphbench").toString
+    // generated edge lists are per-run scratch — remove on exit (the
+    // PipelineBench disk-fill lesson)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(new java.io.File(work))))
 
     // ---- one-time input materialization (not timed) ----
     locally {

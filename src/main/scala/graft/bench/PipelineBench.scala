@@ -37,7 +37,12 @@ object PipelineBench {
     val skewed = args.length > 3 && args(3) == "skew"
 
     // ---- one-time input materialization (not timed) ----
+    // ~2.5 GB of generated pages + per-trial outputs per run — MUST be
+    // removed on exit (leaked dirs filled the disk to 97% over a round,
+    // and a near-full disk silently inflates every later bench number)
     val work = Files.createTempDirectory("graft-bench").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.Fs.deleteRecursively(new java.io.File(work))))
     val pagesDir = s"$work/pages"
     val warmDir = s"$work/pages_warm"
     locally {
