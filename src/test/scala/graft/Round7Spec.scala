@@ -627,6 +627,27 @@ class Round7Spec extends SparkTestBase {
     assert(wGot == refWalks(edges, Seq(1L, 5L), length = 10))
   }
 
+  test("randomWalks: choices at a shared hub decorrelate across walks " +
+      "(the keyed hash really keys on the walk id)") {
+    import spark.implicits._
+    // star: center 0, leaves 1..100. Every walk starts at a leaf, is
+    // forced to the center at step 1, then picks among all 100 leaves
+    // at step 2 with key (walk, 2, cand). If the key dropped the walk
+    // id, ALL 100 walks would pick the SAME leaf; iid-ish choices give
+    // ~63 distinct picks (100 draws over 100 bins) with max bin ~4.
+    val edges = (1L to 100L).map(l => (0L, l))
+    val starts = (1L to 100L).toDF("node")
+    val step2 = graft.operators.Graphs
+      .randomWalks(spark, edges.toDF("src", "dst"), starts, length = 2)
+      .collect().map(_.getString(1).split(" ")(2).toLong)
+    val counts = step2.groupBy(identity).map(_._2.length)
+    assert(counts.size >= 40,
+      s"only ${counts.size} distinct hub choices across 100 walks — " +
+        "the choice key is not decorrelating by walk id")
+    assert(counts.max <= 15,
+      s"one leaf chosen ${counts.max}/100 times — hash badly skewed")
+  }
+
   test("skip-gram pairs from a hand-checked walk window") {
     import spark.implicits._
     // one deterministic 2-step walk on a triangle: replay gives the
