@@ -648,6 +648,34 @@ class Round7Spec extends SparkTestBase {
       s"one leaf chosen ${counts.max}/100 times — hash badly skewed")
   }
 
+  test("random-graph property sweep: walks and nearest-seed match their " +
+      "replays on 8 seeded random multigraphs (self-loops, duplicate " +
+      "edges, disconnected fragments)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x9e37)
+    for (trial <- 1 to 8) {
+      val n = 8 + rng.nextInt(12)
+      // random multigraph INCLUDING self-loops and duplicates — the
+      // operators must canonicalize them away identically to the refs
+      val edges = Seq.fill(2 * n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val starts = Seq.fill(4)(rng.nextInt(n + 2).toLong).distinct
+      val wGot = graft.operators.Graphs
+        .randomWalks(spark, edges.toDF("src", "dst"),
+          starts.toDF("node"), length = 3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(wGot == refWalks(edges, starts, length = 3),
+        s"walks diverged on trial $trial: $edges starts=$starts")
+      val sGot = graft.operators.Graphs
+        .nearestSeeds(spark, edges.toDF("src", "dst"),
+          starts.toDF("node"), maxDepth = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(sGot == refNearestSeeds(edges, starts, depth = 3),
+        s"nearestSeeds diverged on trial $trial: $edges seeds=$starts")
+    }
+  }
+
   test("skip-gram pairs from a hand-checked walk window") {
     import spark.implicits._
     // one deterministic 2-step walk on a triangle: replay gives the
