@@ -163,22 +163,23 @@ object OracleAssumptions {
         "(query AND oracle share the constant) to the new fixpoint depth"
     }
 
-    // q116/q117 hash the walk-step key string "walk:step:cand" with
-    // XXH64; the DuckDB replay (XxHash64Sql) only covers sub-32-byte
-    // ASCII inputs, so the largest possible key must fit. Node ids are
-    // customer keys and steps a single digit, so the bound is
-    // 2·digits(max key) + 3 separators/step-digit < 32 — pinned here so
-    // a regenerated dir with huge keys fails by name (past the bound
-    // the replay maps keys to NULL-hash, which would surface as a
-    // confusing ordering mismatch).
+    // q116/q117/q119 hash walk-step key strings ("walk:step:cand" and
+    // the weighted "walk:step:cand:copy") with XXH64; the DuckDB replay
+    // (XxHash64Sql) only covers sub-32-byte ASCII inputs, so the
+    // largest possible key must fit. Node ids are customer keys, steps
+    // a single digit, copies ≤ 2 digits at these weights, so the bound
+    // is 2·digits(max key) + 6 (step digit + copy digits + 3 colons)
+    // < 32 — pinned here so a regenerated dir with huge keys fails by
+    // name (past the bound the replay maps keys to NULL-hash, which
+    // would surface as a confusing ordering mismatch).
     locally {
       // max walk node id = max key + 2 (triEdges' k+2 arm)
       val maxKey = spark.read.parquet(s"$dir/customer.parquet")
         .agg(max(length((col("c_custkey") + 2).cast("string"))))
         .head.getInt(0)
-      if (2 * maxKey + 3 >= 32) out += s"$dir: customer keys reach " +
-        s"$maxKey digits — the q116/q117 walk keys would exceed the " +
-        "XXH64 SQL replay's 32-byte scope"
+      if (2 * maxKey + 6 >= 32) out += s"$dir: customer keys reach " +
+        s"$maxKey digits — the q116/q117/q119 walk keys would exceed " +
+        "the XXH64 SQL replay's 32-byte scope"
     }
 
     out.result()

@@ -580,6 +580,83 @@ object Graphs {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** Weighted variant of [[randomWalks]]: the input is a MULTIGRAPH —
+    * parallel edges are NOT deduplicated, and an edge's weight is its
+    * parallel count (the KG case: co-mention counts). Step t of walk w
+    * moves to the neighbor minimizing
+    * `(xxhash64("w:t:n:c"), n, c)` over every copy c in 1..weight(n) —
+    * min over `weight` iid hash draws, so a neighbor is chosen with
+    * probability exactly weight/Σweights under the iid-hash model while
+    * the rule stays a pure function of (walk, step, candidate, copy):
+    * deterministic, restart-safe, order-free, and hash-oracleable like
+    * the unweighted walk.
+    *
+    * Scale contract: the per-step candidate set is frontier × Σweights
+    * (the copy explode is the cost of exact integer weighting), so
+    * weights must be small — `maxWeight` (default 1024) is checked up
+    * front and the operator REFUSES heavier edges; corpus-scale counts
+    * should be quantized/log-bucketed upstream, which is standard for
+    * DeepWalk-family pipelines anyway. Everything else matches
+    * randomWalks: once-cached weighted adjacency, frontier-only
+    * shuffles, map-side argmin combine.
+    *
+    * @return (walk BIGINT, path STRING) as in randomWalks */
+  def weightedRandomWalks(spark: SparkSession, edges: DataFrame,
+      starts: DataFrame, length: Int, maxWeight: Long = 1024L): DataFrame = {
+    require(length >= 1 && length <= 32, s"length=$length out of [1,32]")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val wtd = edges
+      .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("wt"))
+    val adj = wtd
+      .select(col("u").as("w"), col("v").as("nxt"), col("wt"))
+      .unionByName(wtd.select(col("v").as("w"), col("u").as("nxt"),
+        col("wt")))
+      .repartition(parts, col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heaviest = adj.agg(max(col("wt"))).head.getLong(0)
+      require(heaviest <= maxWeight,
+        s"max edge weight $heaviest exceeds maxWeight=$maxWeight — " +
+          "quantize or bucket weights upstream (the copy explode is " +
+          "linear in the weight)")
+      var walks = starts
+        .selectExpr("CAST(node AS BIGINT) AS walk")
+        .join(adj.select(col("w").as("walk")).distinct(),
+          Seq("walk"), "left_semi")
+        .select(col("walk"), col("walk").as("cur"),
+          col("walk").cast("string").as("path"))
+      var prevCut: Option[org.apache.spark.rdd.RDD[_]] = None
+      for (t <- 1 to length) {
+        walks = walks
+          .join(adj, walks("cur") === adj("w"))
+          .select(col("walk"), col("path"), col("nxt"),
+            explode(sequence(lit(1L), col("wt"))).as("copy"))
+          .groupBy("walk", "path")
+          .agg(min(struct(
+            xxhash64(concat_ws(":", col("walk"), lit(t), col("nxt"),
+              col("copy"))).as("h"),
+            col("nxt").as("nxt"),
+            col("copy").as("copy"))).as("best"))
+          .select(col("walk"), col("best.nxt").as("cur"),
+            concat_ws(" ", col("path"), col("best.nxt")).as("path"))
+        if (t % 8 == 0 && t < length) {
+          val cut = walks.localCheckpoint(eager = true)
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = ckptRdd(cut)
+          walks = cut
+        }
+      }
+      val out = walks.select(col("walk"), col("path"))
+        .localCheckpoint(eager = true)
+      prevCut.foreach(_.unpersist(blocking = false))
+      out
+    } finally adj.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------
   // Triangle counting / local clustering coefficient
   // ------------------------------------------------------------------

@@ -231,6 +231,18 @@ object Round7Queries {
       val seeds = c.where(col("k") % 100 === 0).select(col("k").as("node"))
       Graphs.nearestSeeds(s, lpaEdges(c), seeds, maxDepth = 4)
         .orderBy("node")
+    }),
+
+    // Weighted random walks over the q111 MULTIGRAPH — triEdges' hub
+    // and chain arms coincide at block boundaries (e.g. (100,101) is
+    // both a chain edge and 101's hub edge), so real weight-2 edges
+    // exist and the copy-explode choice rule is exercised, not just
+    // reduced to q116. 3 steps from the k%11==0 starts.
+    "q119_weighted_walks" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      val starts = c.where(col("k") % 11 === 0).select(col("k").as("node"))
+      Graphs.weightedRandomWalks(s, triEdges(c), starts, length = 3)
+        .orderBy("walk")
     }))
 
   /** Unrolled SQL replay of Graphs.pageRank — generated from the SAME
@@ -451,29 +463,68 @@ object Round7Queries {
     * (walk, cur, path) so q116 (paths) and q117 (positions, read
     * straight from the per-step CTEs — no string parsing) share one
     * generator and cannot drift. */
-  private def walkCtesSql(length: Int): String = {
+  private def walkCtesSql(length: Int, weighted: Boolean = false,
+      startsMod: Int = 7): String = {
     val steps = (1 to length).map { t =>
-      val (chain, fin) = XxHash64Sql.hashCtes(s"c$t", "key",
-        Seq("walk", "path", "nxt"), s"s${t}_")
-      s"""c$t AS (
-         |  SELECT w.walk AS walk, w.path AS path, a.nxt AS nxt,
-         |    concat(w.walk, ':', $t, ':', a.nxt) AS key
-         |  FROM w${t - 1} w JOIN adj a ON a.w = w.cur),
-         |$chain,
-         |w$t AS MATERIALIZED (
-         |  SELECT walk, nxt AS cur, concat(path, ' ', nxt) AS path FROM (
-         |    SELECT walk, path, nxt,
-         |      ROW_NUMBER() OVER (PARTITION BY walk ORDER BY h, nxt) AS rn
-         |    FROM $fin) picked
-         |  WHERE rn = 1)""".stripMargin
+      if (weighted) {
+        // copies exploded per edge weight; the key includes the copy
+        // index, mirroring weightedRandomWalks. unnest must sit alone
+        // in its SELECT list (DuckDB), so the key is built one CTE later
+        val (chain, fin) = XxHash64Sql.hashCtes(s"d$t", "key",
+          Seq("walk", "path", "nxt", "cp"), s"s${t}_")
+        s"""c$t AS (
+           |  SELECT w.walk AS walk, w.path AS path, a.nxt AS nxt,
+           |    unnest(generate_series(1, a.wt)) AS cp
+           |  FROM w${t - 1} w JOIN adj a ON a.w = w.cur),
+           |d$t AS (
+           |  SELECT walk, path, nxt, cp,
+           |    concat(walk, ':', $t, ':', nxt, ':', cp) AS key FROM c$t),
+           |$chain,
+           |w$t AS MATERIALIZED (
+           |  SELECT walk, nxt AS cur, concat(path, ' ', nxt) AS path FROM (
+           |    SELECT walk, path, nxt,
+           |      ROW_NUMBER() OVER (
+           |        PARTITION BY walk ORDER BY h, nxt, cp) AS rn
+           |    FROM $fin) picked
+           |  WHERE rn = 1)""".stripMargin
+      } else {
+        val (chain, fin) = XxHash64Sql.hashCtes(s"c$t", "key",
+          Seq("walk", "path", "nxt"), s"s${t}_")
+        s"""c$t AS (
+           |  SELECT w.walk AS walk, w.path AS path, a.nxt AS nxt,
+           |    concat(w.walk, ':', $t, ':', a.nxt) AS key
+           |  FROM w${t - 1} w JOIN adj a ON a.w = w.cur),
+           |$chain,
+           |w$t AS MATERIALIZED (
+           |  SELECT walk, nxt AS cur, concat(path, ' ', nxt) AS path FROM (
+           |    SELECT walk, path, nxt,
+           |      ROW_NUMBER() OVER (PARTITION BY walk ORDER BY h, nxt) AS rn
+           |    FROM $fin) picked
+           |  WHERE rn = 1)""".stripMargin
+      }
     }.mkString(",\n")
+    // weighted mode keeps the MULTIGRAPH: weights are parallel-edge
+    // counts over the oriented raw arms (no DISTINCT), mirroring
+    // weightedRandomWalks' groupBy count
+    val adjSql = if (weighted)
+      s"""worient AS (
+         |  SELECT least(a, b) AS u, greatest(a, b) AS v
+         |  FROM raw WHERE a <> b),
+         |wcnt AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS wt
+         |  FROM worient GROUP BY u, v),
+         |adj AS MATERIALIZED (
+         |  SELECT u AS w, v AS nxt, wt FROM wcnt
+         |  UNION ALL SELECT v AS w, u AS nxt, wt FROM wcnt)""".stripMargin
+    else
+      s"""adj AS MATERIALIZED (
+         |  SELECT u AS w, v AS nxt FROM e
+         |  UNION ALL SELECT v AS w, u AS nxt FROM e)""".stripMargin
     s"""${triGraphSql()},
-       |adj AS MATERIALIZED (
-       |  SELECT u AS w, v AS nxt FROM e
-       |  UNION ALL SELECT v AS w, u AS nxt FROM e),
+       |$adjSql,
        |w0 AS MATERIALIZED (
        |  SELECT k AS walk, k AS cur, CAST(k AS VARCHAR) AS path FROM ck
-       |  WHERE k % 7 = 0 AND k IN (SELECT w FROM adj)),
+       |  WHERE k % $startsMod = 0 AND k IN (SELECT w FROM adj)),
        |$steps""".stripMargin
   }
 
@@ -504,6 +555,10 @@ object Round7Queries {
       pprOracleSql(iters = 5, scale = 1000000000000L),
     "q113_label_propagation" -> lpaOracleSql(iters = 4),
     "q118_nearest_seed" -> nearestSeedOracleSql(depth = 4),
+    "q119_weighted_walks" ->
+      s"""WITH
+         |${walkCtesSql(3, weighted = true, startsMod = 11)}
+         |SELECT walk, path FROM w3 ORDER BY walk""".stripMargin,
     "q115_kcore" -> kcoreOracleSql(k = 5L, rounds = 12),
 
     // q114: the q111 graph's canonical edges → capped adjacency →

@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkTestBase {
     for (q <- Seq("q110_pagerank", "q111_triangles",
         "q113_label_propagation", "q114_link_prediction",
         "q116_random_walks", "q117_skipgram_pairs",
-        "q118_nearest_seed")) {
+        "q118_nearest_seed", "q119_weighted_walks")) {
       val plan = executedPlan(q)
       assert(!plan.contains("c_name") && !plan.contains("c_address") &&
         !plan.contains("c_comment"),

@@ -627,6 +627,71 @@ class Round7Spec extends SparkTestBase {
     assert(wGot == refWalks(edges, Seq(1L, 5L), length = 10))
   }
 
+  /** Sequential replay of the WEIGHTED walk: min over (hash of
+    * "w:t:n:c", n, c) across every copy c in 1..weight(n), weight =
+    * parallel-edge count of the canonical pair. */
+  private def refWeightedWalks(edges: Seq[(Long, Long)],
+      starts: Seq[Long], length: Int): Map[Long, String] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val wts = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = wts.keys.flatMap(p => Seq(p, p.swap)).toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct).toMap
+    def wt(a: Long, b: Long): Long = wts((math.min(a, b), math.max(a, b)))
+    starts.filter(adj.contains).map { w =>
+      var cur = w
+      val path = new StringBuilder(w.toString)
+      for (t <- 1 to length) {
+        cur = adj(cur).flatMap(n => (1L to wt(cur, n)).map(c => (n, c)))
+          .minBy { case (n, c) =>
+            (XxHash64Function.hash(
+              UTF8String.fromString(s"$w:$t:$n:$c"), StringType, 42L),
+              n, c)
+          }._1
+        path.append(' ').append(cur)
+      }
+      w -> path.toString
+    }.toMap
+  }
+
+  test("weightedRandomWalks: bit-identical to the copy-explode replay " +
+      "on a multigraph; heavy edges dominate; weight cap refuses") {
+    import spark.implicits._
+    // triangle 1-2-3 where edge (1,2) appears 5x (weight 5) and a
+    // pendant 3-4; plus duplicated/reversed presentation noise
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = base ++ Seq.fill(4)((2L, 1L)) // (1,2) weight 5 total
+    val starts = Seq(1L, 3L, 4L)
+    val got = graft.operators.Graphs
+      .weightedRandomWalks(spark, edges.toDF("src", "dst"),
+        starts.toDF("node"), length = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == refWeightedWalks(edges, starts, length = 5))
+    // weight bias at the population level: many walks standing at 1
+    // choose between 2 (weight 5) and 3 (weight 1) — across 40 walks'
+    // first steps from a star of weight-5 vs weight-1 edges, the heavy
+    // neighbor must win a clear majority (expected 5/6 ≈ 33 of 40)
+    val star = (10L to 49L).flatMap(s =>
+      Seq.fill(5)((s, 100L)) ++ Seq((s, 101L)))
+    val firstSteps = graft.operators.Graphs
+      .weightedRandomWalks(spark, star.toDF("src", "dst"),
+        (10L to 49L).toDF("node"), length = 1)
+      .collect().map(_.getString(1).split(" ")(1).toLong)
+    val heavy = firstSteps.count(_ == 100L)
+    assert(heavy >= 25 && heavy <= 40,
+      s"weight-5 neighbor won only $heavy/40 first steps")
+    // the cap is a refusal, not a silent truncation
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Graphs.weightedRandomWalks(spark,
+        Seq.fill(3)((1L, 2L)).toDF("src", "dst"),
+        Seq(1L).toDF("node"), length = 1, maxWeight = 2L)
+    }
+    assert(err.getMessage.contains("maxWeight"))
+  }
+
   test("randomWalks: choices at a shared hub decorrelate across walks " +
       "(the keyed hash really keys on the walk id)") {
     import spark.implicits._
