@@ -152,6 +152,15 @@ object GraphBench {
         .selectExpr("id AS node")
       Graphs.nearestSeeds(spark, tedges, seeds, maxDepth = 6).count()
     }
+    // weighted walks on the same multigraph (leader edges duplicate the
+    // chain edges at block starts → real weight-2 edges): measures the
+    // copy-explode overhead vs the unweighted leg
+    val (wallWw, wwRows) = leg("wwalks") {
+      val starts = spark.range(nTri).where("id % 7 = 0")
+        .selectExpr("id AS node")
+      Graphs.weightedRandomWalks(spark, tedges, starts, length = 8)
+        .count()
+    }
     spark.stop()
 
     val json =
@@ -166,7 +175,8 @@ object GraphBench {
         s""""kcore":{"k":5,"rounds":8,"survivors":$coreRows,""" +
         s""""wall_s":$wallCore},""" +
         s""""walks":{"length":8,"walks":$walkRows,"wall_s":$wallWalks},""" +
-        s""""bfs":{"depth":6,"reached":$bfsRows,"wall_s":$wallBfs}}"""
+        s""""bfs":{"depth":6,"reached":$bfsRows,"wall_s":$wallBfs},""" +
+        s""""wwalks":{"length":8,"walks":$wwRows,"wall_s":$wallWw}}"""
     // scalastyle:off println
     println(json)
     // scalastyle:on println
