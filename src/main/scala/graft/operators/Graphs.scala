@@ -243,10 +243,23 @@ object Graphs {
     * peel depth is ≤ the graph's degeneracy ordering depth, small for
     * web-ish graphs.
     *
-    * Shape per round: one map-side-combined degree aggregate over the
-    * surviving edges + two semi-joins against the (node-sized) survivor
-    * set; rounds are localCheckpoint'ed so the plan and RDD lineage
-    * stay flat (scale-bug pattern 3).
+    * Shape per round — DELTA PEEL (round 8; previously each round
+    * re-aggregated degrees over, and re-checkpointed, the FULL surviving
+    * edge set, an O(rounds × E) copy bill): the running state is the
+    * NODE-sized degree table. Each round kills the current deg < k
+    * nodes, charges each killed node's adjacency rows (cascade-sized,
+    * read from the once-cached symmetric adjacency) as degree LOSS to
+    * its neighbors (map-side-combined count), and applies the loss with
+    * two node-sized joins. The edge set is never copied after the
+    * initial build; per-round work tracks the CASCADE (the q118
+    * frontier-delta move applied to peeling), and an empty kill set
+    * exits early — extra rounds past the fixpoint were already no-ops
+    * semantically, now they cost nothing. Equivalence to the
+    * re-aggregate formulation is by induction: alive(r) = alive(r−1)
+    * minus its deg < k nodes, and deg_r(v) = deg_{r−1}(v) − |killed
+    * neighbors| IS v's degree in the induced surviving subgraph
+    * (spec-pinned mid-cascade against the sequential replay, and the
+    * q115 oracle unrolls the same rounds).
     *
     * @param edges DataFrame with castable-to-long `src`, `dst`
     * @return (node BIGINT, core_deg BIGINT): survivors of round
@@ -255,37 +268,51 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1,64]")
-    var e = canonicalUndirected(edges).localCheckpoint(eager = true)
-    // each round frees its predecessor's checkpoint blocks as soon as
-    // the new edge set is materialized — without this, `rounds` full
-    // edge-set copies pile up in the block manager until driver GC
-    // (the transient-derived-state scale-bug pattern)
-    var prev = ckptRdd(e)
-    for (_ <- 1 to rounds) {
-      // keep feeds two semi-joins — uncached, the degree aggregate runs
-      // twice per round (scale-bug pattern 1); freed as soon as the
-      // round's edge set is materialized, exception or not
-      val keep = endpointDegrees(e).where(col("deg") >= k)
-        .select(col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val e2 = e
-          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v"))
-          .localCheckpoint(eager = true)
-        prev.foreach(_.unpersist(blocking = false))
-        prev = ckptRdd(e2)
-        e = e2
-      } finally keep.unpersist(blocking = false)
-    }
-    // the output is node-sized — checkpoint IT and free the final
-    // (edge-sized) round instead of letting it back the returned frame
-    val out = endpointDegrees(e)
-      .select(col("node"), col("deg").as("core_deg"))
-      .localCheckpoint(eager = true)
-    prev.foreach(_.unpersist(blocking = false))
-    out
+    val adj = symmetricAdjacency(spark, edges, "w", "n")
+    try {
+      // initial degrees reuse adj's hash partitioning on w — no shuffle
+      var deg = adj.groupBy(col("w").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true)
+      // each round frees its predecessor's checkpoint blocks as soon as
+      // the new degree table is materialized (the transient-derived-
+      // state scale-bug pattern) — node-sized blocks now, not edge-sized
+      var prev = ckptRdd(deg)
+      var r = 1
+      var converged = false
+      while (r <= rounds && !converged) {
+        val kill = deg.where(col("deg") < k).select(col("node"))
+        if (kill.isEmpty) converged = true
+        else {
+          // each killed node's neighbors lose one degree per lost edge;
+          // rows whose neighbor is itself killed this round fall out in
+          // the anti-join below (synchronous peel semantics)
+          val loss = adj
+            .join(kill.withColumnRenamed("node", "w"), Seq("w"),
+              "left_semi")
+            .groupBy(col("n").as("node"))
+            .agg(count(lit(1)).as("lost"))
+          val deg2 = deg
+            .join(kill, Seq("node"), "left_anti")
+            .join(loss, Seq("node"), "left_outer")
+            .select(col("node"),
+              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+            .localCheckpoint(eager = true)
+          prev.foreach(_.unpersist(blocking = false))
+          prev = ckptRdd(deg2)
+          deg = deg2
+        }
+        r += 1
+      }
+      // deg = 0 survivors lost every edge without (yet) being killed —
+      // they are not endpoints of any surviving edge, so they are absent
+      // from the output exactly as under the edge-set formulation
+      val out = deg.where(col("deg") >= 1)
+        .select(col("node"), col("deg").as("core_deg"))
+        .localCheckpoint(eager = true)
+      prev.foreach(_.unpersist(blocking = false))
+      out
+    } finally adj.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------
@@ -618,7 +645,15 @@ object Graphs {
       .repartition(parts, col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val heaviest = adj.agg(max(col("wt"))).head.getLong(0)
+      // an edge list that is EMPTY after the self-loop drop makes
+      // max(wt) NULL — read defensively and return the empty walk set
+      // (mirrors randomWalks' graceful empty-graph behavior) instead of
+      // throwing an opaque NPE from getLong (round-7 advice)
+      val heaviestRow = adj.agg(max(col("wt"))).head
+      if (heaviestRow.isNullAt(0))
+        return adj.sparkSession.emptyDataFrame
+          .select(lit(0L).as("walk"), lit("").as("path")).limit(0)
+      val heaviest = heaviestRow.getLong(0)
       require(heaviest <= maxWeight,
         s"max edge weight $heaviest exceeds maxWeight=$maxWeight — " +
           "quantize or bucket weights upstream (the copy explode is " +

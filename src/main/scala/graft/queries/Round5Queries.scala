@@ -39,16 +39,21 @@ object Round5Queries {
       val quality = sampled.where(size(words) >= 16 &&
         size(array_distinct(words)).cast("double") /
           size(words).cast("double") >= 0.45)
-      // stage 3: decontamination — ids of corpus docs sharing any word
-      // 3-gram with the benchmark slice; computed over the FULL corpus
-      // (a superset of the sampled+quality survivors, so the anti-join
-      // below yields identical rows) to keep this side independent of
-      // the survivor subplan — no common-subplan re-execution of the
-      // quality stage (the round-4 CC lesson)
+      // stage 3: decontamination — ids of QUALITY-SURVIVOR docs sharing
+      // any word 3-gram with the benchmark slice. Round 8: the probe
+      // side explodes only the sampled+quality survivors instead of the
+      // full corpus (guide §2.3, project/filter before the expensive
+      // explode): the anti-join below can only remove ids from the
+      // quality set, so contaminated ids OUTSIDE it never matter — the
+      // result is row-identical while the gram explode (the dominant
+      // cost of this side) shrinks to the survivor volume. The quality
+      // subtree is re-executed under the broadcast (Spark does not
+      // dedupe common subplans), but it is a narrow filter over the
+      // parquet scan — far cheaper than exploding the non-survivors.
       val benchGrams = bench
         .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
         .distinct()
-      val contaminatedIds = corpus
+      val contaminatedIds = quality
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
           .as("gram"))
         .join(broadcast(benchGrams), "gram")

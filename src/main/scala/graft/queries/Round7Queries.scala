@@ -3,7 +3,6 @@ package graft.queries
 import graft.operators.{ConnectedComponents, Dedup, Graphs}
 import graft.sources.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions: the dedup ACTION a curation pipeline actually runs.
@@ -77,6 +76,18 @@ object Round7Queries {
         .select(col("k").as("src"), (col("k") + 4).as("dst")))
   }
 
+  /** Group-size decoration shared by q109 (csize per dup-cluster) and
+    * q113 (csize per LPA community): a map-side-combinable
+    * groupBy(key).count joined back on the (group-count-sized) key.
+    * Deliberately NOT `count().over(Window.partitionBy(key))`: the
+    * unbounded-frame window buffers an entire group in ONE task, and
+    * the boilerplate mega-cluster / giant community is the EXPECTED
+    * skew at corpus scale (round-7 verdict). Plan shape (aggregate, no
+    * Window) is pinned in PlanAuditSpec. */
+  private[graft] def withGroupSize(df: DataFrame, keyCol: String): DataFrame =
+    df.join(df.groupBy(col(keyCol)).agg(count(lit(1)).as("csize")),
+      Seq(keyCol))
+
   val queries: Map[String, QFn] = Map(
     // Containment-dedup clusters: q106's pairs as edges → connected
     // components (the q63 fixpoint operator — double pointer-jump,
@@ -96,15 +107,20 @@ object Round7Queries {
       // under 1M the operator runs its own UnionFind oracle on the
       // driver (bit-identical labels, ~32 MB bound) instead of paying
       // ~10 job dispatches of distributed fixpoint on a toy graph; a
-      // bigger dup graph automatically takes the distributed path
-      val labels = ConnectedComponents.run(s,
+      // bigger dup graph automatically takes the distributed path.
+      // runManaged (not run): the final-round blocks are freed as soon
+      // as the projected result is materialized, so repeated executions
+      // in one session (bench warm-up + timed pass) cannot accumulate
+      // block-manager storage (round-7 advice).
+      val handle = ConnectedComponents.runManaged(s,
         pairs.select(col("a").as("src"), col("b").as("dst")),
         smallGraphThreshold = 1L << 20)
-      labels.select(col("node").as("doc_id"), col("comp").as("canon"),
-          (col("node") === col("comp")).as("keep"),
-          count(lit(1)).over(Window.partitionBy(col("comp")))
-            .as("csize"))
-        .orderBy("doc_id")
+      val out = withGroupSize(handle.labels, "comp")
+        .select(col("node").as("doc_id"), col("comp").as("canon"),
+          (col("node") === col("comp")).as("keep"), col("csize"))
+        .localCheckpoint(eager = true)
+      handle.close()
+      out.orderBy("doc_id")
     }),
 
     // Fixed-point integer PageRank (entity importance over the KG link
@@ -174,10 +190,9 @@ object Round7Queries {
     // label = adopted community id, csize = community population.
     "q113_label_propagation" -> ((s, d) => {
       val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
-      Graphs.labelPropagation(s, lpaEdges(c), iters = 4)
-        .select(col("node"), col("label"),
-          count(lit(1)).over(Window.partitionBy(col("label")))
-            .as("csize"))
+      val lbl = Graphs.labelPropagation(s, lpaEdges(c), iters = 4)
+      withGroupSize(lbl, "label")
+        .select(col("node"), col("label"), col("csize"))
         .orderBy("node")
     }),
 
@@ -205,15 +220,24 @@ object Round7Queries {
       val c = customer(s, d).select(col("c_custkey").cast("long").as("k"))
       val starts = c.where(col("k") % 7 === 0).select(col("k").as("node"))
       val walks = Graphs.randomWalks(s, triEdges(c), starts, length = 4)
-      val pos = walks.select(col("walk"),
-          posexplode(split(col("path"), " ")).as(Seq("pos", "nodeS")))
-        .select(col("walk"), col("pos"), col("nodeS").cast("long").as("node"))
-      val p2 = pos.select(col("walk"), col("pos").as("pos2"),
-        col("node").as("context"))
-      pos.join(p2, Seq("walk"))
-        .where(col("pos2") =!= col("pos") &&
-          abs(col("pos2") - col("pos")) <= 2)
-        .groupBy(col("node").as("center"), col("context"))
+      // (center, context) pairs generated PER ROW with bounded-offset
+      // array HOFs (window ±2 around each position) — no per-walk
+      // all-pairs self-join, no join shuffle at all: the only exchange
+      // left is the final groupBy. Per-walk cost is ~4L instead of
+      // (L+1)² (round-7 verdict's narrow rewrite). Same pairs as the
+      // positions self-join filtered to 1 ≤ |Δpos| ≤ 2, which is what
+      // the oracle replays from the per-step walk CTEs.
+      walks
+        .select(expr("transform(split(path, ' '), x -> CAST(x AS BIGINT))")
+          .as("nds"))
+        .select(explode(expr(
+          "flatten(transform(nds, (c, i) -> " +
+            "transform(filter(sequence(greatest(i-2, 0), " +
+            "least(i+2, size(nds)-1)), j -> j != i), " +
+            "j -> named_struct('center', c, 'context', nds[j]))))"))
+          .as("p"))
+        .groupBy(col("p.center").as("center"),
+          col("p.context").as("context"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("center", "context")
     }),

@@ -66,6 +66,24 @@ class PlanAuditSpec extends SparkTestBase {
       !q106.contains("BroadcastNestedLoopJoin"), q106.take(1500))
   }
 
+  test("q109/q113 group sizes are map-side aggregates, not unbounded " +
+      "windows (round-8: the mega-cluster/giant-community skew fix)") {
+    // q113's whole executed plan is visible — no Window node anywhere
+    val q113 = executedPlan("q113_label_propagation")
+    assert(!q113.contains("Window"), q113.take(1500))
+    // q109's final plan sits behind the result checkpoint, so pin the
+    // shared decoration helper itself: groupBy+join-back, never a
+    // partitionBy window
+    import org.apache.spark.sql.functions._
+    val labels = spark.range(8).select(col("id").as("node"),
+      (col("id") % 3).as("comp"))
+    val dec = graft.queries.Round7Queries.withGroupSize(labels, "comp")
+    dec.collect()
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("round-7 graph queries prune the customer scan to the key column") {
     // the graphs are pure key arithmetic — at 100 TB an edge derivation
     // that drags c_name/c_address/c_comment through every fixpoint
