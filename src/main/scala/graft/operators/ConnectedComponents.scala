@@ -249,7 +249,6 @@ object ConnectedComponents {
   private def fixpoint(spark: SparkSession, edges: DataFrame,
       maxIter: Int, store: RoundStore,
       seed: Option[(DataFrame, Int)], smallGraph: Long): CcHandle = {
-    val parts = spark.sessionState.conf.numShufflePartitions
     import spark.implicits._
 
     // the input edge plan appears FOUR times below (both legs of the
@@ -273,11 +272,16 @@ object ConnectedComponents {
     var roundCaches: Seq[DataFrame] = Nil
     try {
     // symmetrize once; self-loops dropped; hash-partitioned by the per-round
-    // join key and cached so rounds never re-shuffle the big side
-    e = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
+    // join key and cached so rounds never re-shuffle the big side. The
+    // partition count is SCALE-ADAPTIVE (guide §2; Partitioning scaladoc):
+    // every fixpoint round launches stages as wide as this cache, so a
+    // small dup-pair graph must not inherit the corpus-sized shuffle
+    // partition conf — ceiling-clamped, identical at real edge scale.
+    val eSym = raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
-      .repartition(parts, col("v"))
+    e = eSym
+      .repartition(Partitioning.adaptiveParts(spark, eSym), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize e NOW (round 1 would have paid this anyway): the raw
     // cache can then be dropped before the fixpoint holds two edge-scale

@@ -66,11 +66,14 @@ object Graphs {
     * between them. Caller owns the unpersist. */
   private def symmetricAdjacency(spark: SparkSession, edges: DataFrame,
       key: String, value: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
     val und = canonicalUndirected(edges)
-    und.select(col("u").as(key), col("v").as(value))
+    val sym = und.select(col("u").as(key), col("v").as(value))
       .unionByName(und.select(col("v").as(key), col("u").as(value)))
-      .repartition(parts, col(key))
+    // scale-adaptive partition count (guide §2): the adjacency is cached
+    // once and then probed by MANY small driver-loop rounds — pinning it
+    // to numShufflePartitions makes every round's stages that wide no
+    // matter how small the graph is (see Partitioning's scaladoc)
+    sym.repartition(Partitioning.adaptiveParts(spark, sym), col(key))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -149,13 +152,16 @@ object Graphs {
     // (truncation) silently diverges from DuckDB's // (floor)
     require(scale >= 1 && scale <= 100000000000000000L,
       s"scale=$scale out of [1, 1e17]")
-    val parts = spark.sessionState.conf.numShufflePartitions
 
-    val e = edges
+    val eRaw = edges
       .selectExpr("CAST(src AS BIGINT) AS src", "CAST(dst AS BIGINT) AS dst")
       .where(col("src") =!= col("dst"))
       .distinct()
-      .repartition(parts, col("src"))
+    // scale-adaptive partitioning for the per-round cached edge state
+    // (guide §2; see Partitioning) — ceiling-clamped, so at corpus scale
+    // this is numShufflePartitions exactly as before
+    val e = eRaw
+      .repartition(Partitioning.adaptiveParts(spark, eRaw), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // derived FROM the src partitioning — groupBy(src) reuses it, no shuffle
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -631,18 +637,20 @@ object Graphs {
   def weightedRandomWalks(spark: SparkSession, edges: DataFrame,
       starts: DataFrame, length: Int, maxWeight: Long = 1024L): DataFrame = {
     require(length >= 1 && length <= 32, s"length=$length out of [1,32]")
-    val parts = spark.sessionState.conf.numShufflePartitions
     val wtd = edges
       .selectExpr("CAST(src AS BIGINT) AS a", "CAST(dst AS BIGINT) AS b")
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("wt"))
-    val adj = wtd
+    val adjRaw = wtd
       .select(col("u").as("w"), col("v").as("nxt"), col("wt"))
       .unionByName(wtd.select(col("v").as("w"), col("u").as("nxt"),
         col("wt")))
-      .repartition(parts, col("w"))
+    // scale-adaptive partitioning for the cached adjacency (guide §2;
+    // see Partitioning) — ceiling-clamped, unchanged at corpus scale
+    val adj = adjRaw
+      .repartition(Partitioning.adaptiveParts(spark, adjRaw), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // an edge list that is EMPTY after the self-loop drop makes
