@@ -232,7 +232,14 @@ object Dedup {
       size(col("sh")).as("nsh"))
     val exploded = withSh.select(col(idCol), col(blockCol),
       explode(transform(col("sh"), s => xxhash64(s))).as("shingle_h"))
-    val inter = exploded.as("l").join(exploded.as("r"),
+    // deliberate join strategy (guide §3.1): the exploded relation is the
+    // dominant shuffle of this operator and both sides are the same
+    // (hash, block)-keyed stream — a shuffled-HASH join builds one side's
+    // per-partition hash table and probes with the other, skipping the
+    // two full sorts a sort-merge join would pay on the widest relation
+    // in the plan. Build-side memory is one partition of (id, block,
+    // hash) triples, the same bound the shuffle itself already implies.
+    val inter = exploded.as("l").join(exploded.as("r").hint("shuffle_hash"),
         col("l.shingle_h") === col("r.shingle_h") &&
         col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
