@@ -29,12 +29,13 @@ val jdk17AddOpens = Seq(
 // matters is heap-per-core. The old 8g default gave 32 cores 256 MB each
 // — far below the ~1 GB/core Spark executors are normally sized to — and
 // the allocation-heavy operators (explode/string/JSON paths) spent the
-// bench in GC: measured 238 s → 136 s full-surface (and q104 14.6 s →
-// 2.2 s) on the same box just by lifting the cap to what the 125 GiB
-// sandbox actually has. 64g ≈ 2 GB/core at local[32], the standard
-// production executor sizing; spark-submit runs were already at
-// --driver-memory 100g (scripts/repro.sh), so sbt-forked runs now match
-// the measurement environment the per-query records were taken in.
+// bench in GC: measured same-box A/B at round 8 start, 238 s full
+// surface at 8g vs 197 s at 64g with NO code change (q104 14.6 → 2.6 s,
+// q30 5.9 → 0.8 s, q02 2.0 → 1.4 s; BENCH/bench_r8_baseline_8g.json vs
+// the post-change runs in OPTIMIZATION_r08.md). 64g ≈ 2 GB/core at
+// local[32], the standard production executor sizing; spark-submit runs
+// were already at --driver-memory 100g (scripts/repro.sh), so sbt-forked
+// runs now match the environment the per-query records were taken in.
 // Still parameterised: SPARK_DRIVER_MEM overrides (e.g. a smaller box).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -45,6 +45,12 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("the shingle-pair candidate join is a shuffled-hash join " +
+      "(round-8: no sort of the exploded relation)") {
+    val plan = executedPlan("q44_ngram_jaccard")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("global sort plans a range-partitioned exchange, not a single task") {
     val plan = executedPlan("q12_global_topk")
     // top-k compiles to TakeOrderedAndProject — no global sort at all

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the adaptive-partitioning contract the iterative operators rely
+  * on: tiny cached round state collapses to one partition (per-round
+  * stages at the narrow-dispatch floor), sizable state is clamped to the
+  * session's shuffle-partition ceiling (bit-identical to the pre-round-8
+  * constant at scale), and an unknown estimate falls back to the ceiling
+  * rather than under-partitioning. */
+class PartitioningSpec extends SparkTestBase {
+
+  test("tiny input collapses to one partition") {
+    val df = spark.range(100).select(col("id").as("u"), col("id").as("v"))
+    assert(Partitioning.adaptiveParts(spark, df) === 1)
+  }
+
+  test("large input clamps to the shuffle-partition ceiling") {
+    // range stats: 8 bytes/row × 100M rows ≫ target × ceiling
+    val df = spark.range(100000000L).select(col("id").as("u"),
+      (col("id") + 1).as("v"))
+    assert(Partitioning.adaptiveParts(spark, df) ===
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  test("mid-size input scales with the ~1 MiB/partition target") {
+    val ceiling = spark.sessionState.conf.numShufflePartitions
+    // ~16 bytes/row × 300k rows ≈ 4.8 MB estimate → a handful of
+    // partitions, strictly between the extremes when the ceiling allows
+    val df = spark.range(300000L).select(col("id").as("u"),
+      (col("id") + 1).as("v"))
+    val p = Partitioning.adaptiveParts(spark, df)
+    assert(p >= 1 && p <= ceiling)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = ((est + Partitioning.TargetBytesPerPartition - 1) /
+      Partitioning.TargetBytesPerPartition).toInt
+    assert(p === math.max(1, math.min(ceiling, want)))
+  }
+}
