@@ -47,8 +47,9 @@ import org.apache.spark.storage.StorageLevel
   *   - tiny graphs can skip the fixpoint entirely: see
   *     `smallGraphThreshold` on [[runManaged]] (measured-count-gated
   *     driver UnionFind, bit-identical labels).
-  *   - the convergence count piggybacks on the materialization pass via
-  *     an accumulator — it never re-executes the round's join.
+  *   - the convergence count is a narrow column-pruned scan of the
+  *     just-persisted round's storage — it never re-executes the round's
+  *     join, and keeps the materialization pass closure-free (codegen).
   *   - round n-1's storage is freed as soon as round n lands; whatever
   *     backs the FINAL round outlives this call (it backs the returned
   *     DataFrame) and is freed by CcHandle.close() or, for durable runs,
@@ -378,19 +379,18 @@ object ConnectedComponents {
           least(col("comp2"), coalesce(col("jumped2"), col("comp2")))
             .as("comp"))
       iter += 1
-      // convergence count piggybacks on the materialization pass via an
-      // accumulator: ONE Spark job per round instead of materialize +
-      // count. A retried task can only double-count real changes (rows
-      // recompute deterministically), so `changed` may overshoot but is
-      // never a false zero — worst case is one extra (no-op) iteration.
-      val changeAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
-      import spark.implicits._
-      val counted = step3.as[(Long, Long, Long)].map { row =>
-        if (row._2 != row._3) changeAcc.add(1L)
-        row
-      }.toDF("node", "oldComp", "comp")
-      val round = store.persist(counted, iter)
-      changed = changeAcc.value
+      // convergence count: a narrow codegen'd scan of the round's OWN
+      // storage (checkpoint blocks / round parquet) right after it
+      // materializes. This replaced an accumulator piggybacked on a typed
+      // .as[(Long,Long,Long)].map over step3: the closure forced a
+      // DeserializeToObject/SerializeFromObject pair around EVERY node row
+      // of EVERY round's materialization (guide §4 — no Scala closures on
+      // the hot path), whereas the count's extra job is narrow, reads the
+      // already-resident round state, prunes to two columns, and its task
+      // count is the adaptive round-state partitioning (1 at sf dirs). It
+      // is also exact where the accumulator could overshoot on retries.
+      val round = store.persist(step3, iter)
+      changed = round.where(col("oldComp") =!= col("comp")).count()
       // the round's storage now holds everything downstream needs — free
       // the intra-round caches before the next round allocates its own
       step1.unpersist(blocking = false)

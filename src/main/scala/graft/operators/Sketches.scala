@@ -35,22 +35,35 @@ object Sketches {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     private[operators] val counters =
       scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-    // min-ordered (count, item) index kept in lockstep with `counters`
-    // (every write goes through `put`): eviction and minCount are
+    // min-ordered (count, item) index: eviction and minCount are
     // O(log capacity) instead of the O(capacity) minBy scan — at the
     // advertised corpus-scale capacities (4096+) the scan regime was
     // O(N·capacity) per partition in steady-state eviction (round-5
     // advice). Ordering is (count, item), so `head` is the minimum
     // counter with ties broken by key — byte-identical eviction choice
-    // to the old scan at fixed input order. @transient: the index is
-    // derived state — serializing it would double every treeReduce
-    // message (measured ~2× on the SketchBench 64k-capacity probe), so
-    // it is rebuilt from `counters` on first access after
-    // deserialization instead.
-    @transient private lazy val byCount = {
-      val t = scala.collection.mutable.TreeSet.empty[(Long, String)]
-      counters.foreach { case (k, (c, _)) => t.add((c, k)) }
-      t
+    // to the old scan at fixed input order. Built ON DEMAND (round 8):
+    // the index is only ever consulted once a summary is full (eviction
+    // in `add`, `minCount` in merge) — in the exact regime, the one the
+    // bench queries run in, NO query ever happens, so maintaining the
+    // tree cost two O(log n) tuple-boxing ops per token for nothing.
+    // Adds are pure HashMap updates until the first consult builds the
+    // index from `counters`; it is kept in lockstep from then on. The
+    // index is a pure function of `counters` at build time, so its
+    // content at any consult is identical to an always-maintained one —
+    // eviction choices are byte-identical either way. @transient: also
+    // derived state on the wire — serializing it would double every
+    // treeReduce message (measured ~2× on the SketchBench 64k-capacity
+    // probe); a deserialized sketch starts unbuilt (null) and rebuilds
+    // at its next consult, exactly like a fresh one.
+    @transient private var byCountIdx:
+        scala.collection.mutable.TreeSet[(Long, String)] = null
+    private def byCount: scala.collection.mutable.TreeSet[(Long, String)] = {
+      if (byCountIdx == null) {
+        val t = scala.collection.mutable.TreeSet.empty[(Long, String)]
+        counters.foreach { case (k, (c, _)) => t.add((c, k)) }
+        byCountIdx = t
+      }
+      byCountIdx
     }
 
     private def full: Boolean = counters.size >= capacity
@@ -58,14 +71,21 @@ object Sketches {
       if (counters.isEmpty) 0L else byCount.head._1
 
     private def put(x: String, c: Long, e: Long): Unit = {
-      counters.get(x).foreach { case (old, _) => byCount.remove((old, x)) }
+      if (byCountIdx != null)
+        counters.get(x).foreach { case (old, _) =>
+          byCountIdx.remove((old, x)) }
       counters.update(x, (c, e))
-      byCount.add((c, x))
+      if (byCountIdx != null) byCountIdx.add((c, x))
     }
 
     def add(x: String, w: Long = 1L): this.type = {
       counters.get(x) match {
-        case Some((c, e)) => put(x, c + w, e)
+        case Some((c, e)) =>
+          // inlined put minus its redundant lookup — the hot path of
+          // every repeated token already holds the old (count, err)
+          if (byCountIdx != null) byCountIdx.remove((c, x))
+          counters.update(x, (c + w, e))
+          if (byCountIdx != null) byCountIdx.add((c + w, x))
         case None if !full => put(x, w, 0L)
         case None =>
           // evict the minimum counter (ties broken by key for
