@@ -105,32 +105,55 @@ object TextAnalysis {
     * Per-row double division of exact ints only — no aggregation-order
     * float caveats, so the DuckDB oracle compares exactly.
     *
-    * Shape: the top-bigram count is explode → (doc, gram) count →
-    * per-doc max — two map-side-combinable aggregations at document
-    * granularity. The obvious per-row HOF alternative
-    * (`array_max(transform(array_distinct(grams), d -> size(filter(...))))`)
-    * is O(|distinct|·|grams|) PER DOCUMENT and measured 203 s on the
-    * sf0.1 corpus (long docs) vs ~1 s for this plan — a per-row
-    * quadratic is still a quadratic no matter how parallel the rows. */
+    * Shape (round 8): fully per-row, ZERO shuffle. Both signals are
+    * per-document functions of the document's own token stream, and the
+    * document's tokens all live in its own row — the previous shape
+    * (explode → (doc, gram) count → per-doc max → join back to the
+    * per-row base) shuffled the whole corpus twice and joined, purely
+    * to group tokens that were never apart. A single compiled
+    * mapPartitions pass computes both counts in O(L) per document with
+    * one open-addressing-backed HashMap bounded by doc length. This is
+    * the documented typed-closure exception (the fingerprint /
+    * Space-Saving precedent): the built-in that "fits" costs two
+    * corpus-scale exchanges, the interpreted-HOF alternative
+    * (array_sort + aggregate() run-length, tried first) evaluates its
+    * lambda per element with per-step struct allocation and measured
+    * 5.2 s vs the old plan's 3.2 s at sf0.1, and the pretty quadratic
+    * (`array_max(transform(array_distinct(grams), d -> size(filter)))`)
+    * measured 203 s. Tokenization matches the old expressions exactly:
+    * `text.split(" ", -1)` is Spark's split(col, " ") (regex, limit -1,
+    * trailing empties kept), and the i+1<|w| guard reproduces
+    * rawShingles' short-doc boundary (a <2-token doc yields one "gram"
+    * = its only token, so every doc emits a row, as the old inner join
+    * did). The independent DuckDB oracle replays both ratios from
+    * string_split — the gate pins the equivalence at both scales. */
   def repetitionSignals(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    // SAME tokenizer for both signals: single-space split, matching
-    // rawShingles (and the oracle's string_split). Mixing words()'s \s+
-    // here would make the two ratios describe different token streams
-    // on whitespace-irregular input.
-    val w = split(col(textCol), " ")
-    val grams = CorpusOps.rawShingles(col(textCol), 2)
-    val base = df.select(col(idCol),
-      (size(array_distinct(w)).cast("double") / size(w).cast("double"))
-        .as("distinct_word_ratio"),
-      size(grams).as("n_grams"))
-    val top = df.select(col(idCol), explode(grams).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("top_cnt"))
-    base.join(top, Seq(idCol))
-      .select(col(idCol), col("distinct_word_ratio"),
-        (col("top_cnt").cast("double") / col("n_grams").cast("double"))
-          .as("top_bigram_frac"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          val distinct = new java.util.HashSet[String]()
+          var i = 0
+          while (i < words.length) { distinct.add(words(i)); i += 1 }
+          val dwr = distinct.size.toDouble / words.length.toDouble
+          val nGrams = math.max(words.length - 2, 0) + 1
+          val counts = new java.util.HashMap[String, Int]()
+          var best = 0
+          i = 0
+          while (i < nGrams) {
+            val gram =
+              if (i + 1 < words.length) words(i) + " " + words(i + 1)
+              else words(i)
+            val c = counts.merge(gram, 1, Integer.sum(_, _))
+            if (c > best) best = c
+            i += 1
+          }
+          (id, dwr, best.toDouble / nGrams.toDouble)
+        }
+      }.toDF(idCol, "distinct_word_ratio", "top_bigram_frac")
   }
 
   /** Email regex shared by the Spark op and the DuckDB oracle (kept to the

@@ -115,6 +115,47 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == Set((1L, 0.25, 1.0), (2L, 0.6, 0.5), (3L, 1.0, 0.5)))
   }
 
+  test("repetitionSignals matches the relational formulation on " +
+      "tokenizer edge cases") {
+    // The round-8 per-row rewrite hand-rolls the tokenizer; pin it
+    // against the OLD explode/agg/join formulation (reconstructed here
+    // from the same split/rawShingles expressions) on exactly the
+    // inputs where hand-rolling goes wrong: empty text, single token,
+    // leading/trailing/double spaces (empty tokens), and a short doc
+    // whose "bigram" is its only token (the rawShingles boundary).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, ""),                  // split -> [""]: 1 word, gram = ""
+      (2L, "solo"),              // 1 word, gram = "solo"
+      (3L, " lead"),             // ["", "lead"]
+      (4L, "trail "),            // ["trail", ""]
+      (5L, "a  b"),              // ["a", "", "b"] — double space
+      (6L, "a a  a a"),          // empties + repeats interleaved
+      (7L, "x y x y x")
+    ).toDF("doc_id", "text")
+    val w = split(col("text"), " ")
+    val grams = CorpusOps.rawShingles(col("text"), 2)
+    val base = docs.select(col("doc_id"),
+      (size(array_distinct(w)).cast("double") / size(w).cast("double"))
+        .as("distinct_word_ratio"),
+      size(grams).as("n_grams"))
+    val top = docs.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    val want = base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("distinct_word_ratio"),
+        (col("top_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("top_bigram_frac"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 7, "every doc must emit exactly one row")
+  }
+
   test("piiRedact exact counts and replacement text") {
     import spark.implicits._
     val docs = Seq(
