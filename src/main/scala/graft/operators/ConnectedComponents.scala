@@ -47,9 +47,12 @@ import org.apache.spark.storage.StorageLevel
   *   - tiny graphs can skip the fixpoint entirely: see
   *     `smallGraphThreshold` on [[runManaged]] (measured-count-gated
   *     driver UnionFind, bit-identical labels).
-  *   - the convergence count is a narrow column-pruned scan of the
-  *     just-persisted round's storage — it never re-executes the round's
-  *     join, and keeps the materialization pass closure-free (codegen).
+  *   - the convergence count is FUSED with the round's materialization:
+  *     the round is staged as a lazy localCheckpoint and the count is
+  *     the one action that runs it, so each round costs a single
+  *     scheduler round-trip (computing the join once, persisting the
+  *     blocks, counting the changed labels) and the pass stays
+  *     closure-free (codegen).
   *   - round n-1's storage is freed as soon as round n lands; whatever
   *     backs the FINAL round outlives this call (it backs the returned
   *     DataFrame) and is freed by CcHandle.close() or, for durable runs,
@@ -75,12 +78,22 @@ object ConnectedComponents {
     true
   }
 
-  /** Per-round persistence. `persist` materializes the round eagerly,
-    * returns a LINEAGE-CUT DataFrame, and frees the previous round's
-    * storage; `releaseFinal` frees whatever backs the last persisted
+  /** Per-round persistence. `persist` STAGES the round and returns a
+    * LINEAGE-CUT DataFrame; the caller MUST run exactly one action over
+    * it (the fixpoint's convergence count) and then call `commit()`,
+    * which frees the PREVIOUS round's storage. Staging is lazy where the
+    * store can afford it (LocalStore) so the caller's action both
+    * materializes the round AND computes the count in ONE job — the
+    * eager-then-count shape was two scheduler round-trips per round,
+    * and per-round fixed cost is the dominant term of a driver-loop
+    * operator (guide §1.2; DispatchProbe: 150–450 ms/job on the bench
+    * box). `persistEager` is the no-action-follows variant for the init
+    * round. `releaseFinal` frees whatever backs the last persisted
     * round (idempotent — it implements CcHandle.close). */
   private sealed trait RoundStore {
     def persist(df: DataFrame, round: Int): DataFrame
+    def commit(): Unit
+    def persistEager(df: DataFrame, round: Int): DataFrame
     def releaseFinal(): Unit
     /** Called instead of releaseFinal when the fixpoint gives up
       * (maxIter). Default: free everything. A caller-owned resumable
@@ -100,18 +113,36 @@ object ConnectedComponents {
     * materialized); the final free blocks so close() is deterministic. */
   private final class LocalStore(spark: SparkSession) extends RoundStore {
     private var last: Option[org.apache.spark.rdd.RDD[_]] = None
-    def persist(df: DataFrame, round: Int): DataFrame = {
-      val m = df.localCheckpoint(eager = true)
-      val ck = m.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
-      last.foreach(_.unpersist(blocking = false))
+    private var pending: Option[org.apache.spark.rdd.RDD[_]] = None
+    private def stage(df: DataFrame, eager: Boolean): DataFrame = {
+      val m = df.localCheckpoint(eager = eager)
       // a miss (plan shape change in a future Spark) leaks to the
       // ContextCleaner when the Dataset is GC'd — never a wrong unpersist
-      last = ck
+      pending = m.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      m
+    }
+    // LAZY checkpoint: the blocks materialize during the caller's
+    // convergence count — round materialization and count fuse into one
+    // job. The previous round's blocks stay alive until commit(): the
+    // staged round's plan READS them, and a localCheckpoint cut cannot
+    // recompute freed blocks.
+    def persist(df: DataFrame, round: Int): DataFrame =
+      stage(df, eager = false)
+    def commit(): Unit = {
+      last.foreach(_.unpersist(blocking = false))
+      last = pending
+      pending = None
+    }
+    def persistEager(df: DataFrame, round: Int): DataFrame = {
+      val m = stage(df, eager = true)
+      commit()
       m
     }
     def releaseFinal(): Unit = {
+      pending.foreach(_.unpersist(blocking = false))
+      pending = None
       last.foreach(_.unpersist(blocking = true))
       last = None
     }
@@ -135,13 +166,30 @@ object ConnectedComponents {
       pendingDirs.add(runDir)
     }
     private var prevName: Option[String] = prev
+    private var pendingName: Option[String] = None
+    // the parquet write IS the materialization (durability is the whole
+    // point of this store) — persist is eager here; the commit() split
+    // only delays the previous round's delete until the caller's count
+    // has run, keeping the resume invariant (never fewer than one
+    // committed round on disk) identical to the old eager shape
     def persist(df: DataFrame, round: Int): DataFrame = {
       val name = s"round_$round"
       val path = new java.io.File(runDir, name).getAbsolutePath
       df.write.mode("overwrite").parquet(path)
-      prevName.foreach(n => deleteRecursively(new java.io.File(runDir, n)))
-      prevName = Some(name)
+      pendingName = Some(name)
       spark.read.parquet(path)
+    }
+    def commit(): Unit = {
+      if (pendingName.isDefined) {
+        prevName.foreach(n => deleteRecursively(new java.io.File(runDir, n)))
+        prevName = pendingName
+        pendingName = None
+      }
+    }
+    def persistEager(df: DataFrame, round: Int): DataFrame = {
+      val m = persist(df, round)
+      commit()
+      m
     }
     def releaseFinal(): Unit = {
       pendingDirs.remove(runDir)
@@ -307,8 +355,10 @@ object ConnectedComponents {
     }
     // every endpoint is a node (self-loops contribute a node, no edge);
     // a resumed run starts from the seed round's labels instead (already
-    // lineage-cut: a fresh parquet read)
-    labels = seed.map(_._1).getOrElse(store.persist(
+    // lineage-cut: a fresh parquet read). Eager: no caller action follows
+    // the init round, and the raw cache it reads is freed on the next
+    // line — round 0 must not be left lazy over a freed cache.
+    labels = seed.map(_._1).getOrElse(store.persistEager(
       raw.select(col("u").as("node"))
         .unionByName(raw.select(col("v").as("node")))
         .distinct()
@@ -379,18 +429,20 @@ object ConnectedComponents {
           least(col("comp2"), coalesce(col("jumped2"), col("comp2")))
             .as("comp"))
       iter += 1
-      // convergence count: a narrow codegen'd scan of the round's OWN
-      // storage (checkpoint blocks / round parquet) right after it
-      // materializes. This replaced an accumulator piggybacked on a typed
-      // .as[(Long,Long,Long)].map over step3: the closure forced a
-      // DeserializeToObject/SerializeFromObject pair around EVERY node row
-      // of EVERY round's materialization (guide §4 — no Scala closures on
-      // the hot path), whereas the count's extra job is narrow, reads the
-      // already-resident round state, prunes to two columns, and its task
-      // count is the adaptive round-state partitioning (1 at sf dirs). It
-      // is also exact where the accumulator could overshoot on retries.
+      // convergence count, FUSED with the round's materialization: the
+      // store stages the round as a LAZY localCheckpoint, so this ONE
+      // count job computes the round, persists its blocks, and counts
+      // the changed labels in a single scheduler round-trip (round 8:
+      // the eager-checkpoint-then-count shape paid two jobs per round —
+      // guide §1.2, per-round fixed cost dominates a driver loop). The
+      // count itself stays a codegen'd filter over the materializing
+      // rows (no closures, exact where an accumulator could overshoot
+      // on task retries); the durable store persists eagerly inside
+      // persist() instead (parquet IS its storage) and the count reads
+      // the files back, exactly as before.
       val round = store.persist(step3, iter)
       changed = round.where(col("oldComp") =!= col("comp")).count()
+      store.commit()
       // the round's storage now holds everything downstream needs — free
       // the intra-round caches before the next round allocates its own
       step1.unpersist(blocking = false)

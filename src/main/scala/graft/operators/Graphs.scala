@@ -276,38 +276,45 @@ object Graphs {
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1,64]")
     val adj = symmetricAdjacency(spark, edges, "w", "n")
     try {
-      // initial degrees reuse adj's hash partitioning on w — no shuffle
+      // initial degrees reuse adj's hash partitioning on w — no shuffle.
+      // LAZY checkpoint + kill count: the ONE count job materializes the
+      // degree blocks AND counts the sub-k nodes (round 8 — the eager
+      // checkpoint followed by a separate isEmpty probe paid two
+      // scheduler round-trips per round; guide §1.2, per-round fixed
+      // cost dominates a driver loop). Each round's count doubles as the
+      // NEXT round's convergence check.
       var deg = adj.groupBy(col("w").as("node"))
         .agg(count(lit(1)).as("deg"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      var nKill = deg.where(col("deg") < k).count()
       // each round frees its predecessor's checkpoint blocks as soon as
       // the new degree table is materialized (the transient-derived-
       // state scale-bug pattern) — node-sized blocks now, not edge-sized
       var prev = ckptRdd(deg)
       var r = 1
-      var converged = false
-      while (r <= rounds && !converged) {
+      while (r <= rounds && nKill > 0) {
         val kill = deg.where(col("deg") < k).select(col("node"))
-        if (kill.isEmpty) converged = true
-        else {
-          // each killed node's neighbors lose one degree per lost edge;
-          // rows whose neighbor is itself killed this round fall out in
-          // the anti-join below (synchronous peel semantics)
-          val loss = adj
-            .join(kill.withColumnRenamed("node", "w"), Seq("w"),
-              "left_semi")
-            .groupBy(col("n").as("node"))
-            .agg(count(lit(1)).as("lost"))
-          val deg2 = deg
-            .join(kill, Seq("node"), "left_anti")
-            .join(loss, Seq("node"), "left_outer")
-            .select(col("node"),
-              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
-            .localCheckpoint(eager = true)
-          prev.foreach(_.unpersist(blocking = false))
-          prev = ckptRdd(deg2)
-          deg = deg2
-        }
+        // each killed node's neighbors lose one degree per lost edge;
+        // rows whose neighbor is itself killed this round fall out in
+        // the anti-join below (synchronous peel semantics)
+        val loss = adj
+          .join(kill.withColumnRenamed("node", "w"), Seq("w"),
+            "left_semi")
+          .groupBy(col("n").as("node"))
+          .agg(count(lit(1)).as("lost"))
+        val deg2 = deg
+          .join(kill, Seq("node"), "left_anti")
+          .join(loss, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint(eager = false)
+        // materialize + next-round kill count, one job; the previous
+        // round's blocks (which this round's plan reads) are freed only
+        // after the new blocks exist
+        nKill = deg2.where(col("deg") < k).count()
+        prev.foreach(_.unpersist(blocking = false))
+        prev = ckptRdd(deg2)
+        deg = deg2
         r += 1
       }
       // deg = 0 survivors lost every edge without (yet) being killed —
@@ -476,9 +483,10 @@ object Graphs {
     * dist in {r−2, r−1, r} (undirected unit weights), so anti-joining
     * the last TWO frontiers is exactly "not yet settled" — the settled
     * set is never re-shuffled OR re-copied. Per-round frontiers are
-    * node-disjoint eager localCheckpoints (kept alive until the end —
-    * they ARE the result); the output is their one final union, after
-    * which every round's blocks are freed. Total per-round work is
+    * node-disjoint localCheckpoints, materialized by the same count job
+    * that decides exhaustion (kept alive until the end — they ARE the
+    * result); the output is their one final union, after which every
+    * round's blocks are freed. Total per-round work is
     * O(frontier edges), total work the edges within maxDepth hops of
     * the seeds, not maxDepth × |E| and not maxDepth × |reached|. An
     * exhausted frontier exits early (depth is a bound, not a quota).
@@ -516,8 +524,12 @@ object Graphs {
         for (pp <- fPrevPrev)
           fresh = fresh.join(pp.select(col("node")), Seq("node"),
             "left_anti")
-        val newFrontier = fresh.localCheckpoint(eager = true)
-        if (newFrontier.isEmpty) {
+        // LAZY checkpoint + count: one job materializes the frontier's
+        // blocks and decides exhaustion (round 8 — eager checkpoint then
+        // a separate isEmpty probe was two scheduler round-trips per
+        // depth; guide §1.2)
+        val newFrontier = fresh.localCheckpoint(eager = false)
+        if (newFrontier.count() == 0L) {
           exhausted = true
           ckptRdd(newFrontier).foreach(_.unpersist(blocking = false))
         } else {
