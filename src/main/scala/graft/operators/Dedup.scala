@@ -115,7 +115,20 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup: signatures → banded candidates → verified
-    * by estimated jaccard from the signatures themselves. */
+    * by estimated jaccard from the signatures themselves.
+    *
+    * The signature pass is computed ONCE and checkpointed (round 8): the
+    * plan references it FOUR times (both sides of the banded self-join,
+    * both verification joins) and Spark does not dedupe common subplans
+    * — uncached, the corpus is scanned and shingle-minhashed 4× per run
+    * (the CC-init / linkPredict house lesson). The checkpoint holds
+    * ~(8 + 8·numHashes) bytes/doc — the metadata-vs-payload trade of
+    * guide §2.3/§5: at corpus scale that is a few hundred bytes per
+    * document in MEMORY_AND_DISK against three saved full-corpus scans
+    * plus their shingle/hash CPU. The result is materialized (same
+    * eager-checkpoint contract as linkPredict) BEFORE the signature
+    * blocks are freed — a truncated-lineage checkpoint cannot be
+    * recomputed after unpersist. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
@@ -125,14 +138,28 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly")
     val sigs = minhashSignatures(docs, textCol, idCol, k, numHashes)
-    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
-    val est = cands
-      .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")), "a")
-      .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")), "b")
-      .withColumn("est_jaccard",
-        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
-          "v -> v)) AS DOUBLE) / CAST(size(sig_a) AS DOUBLE)"))
-    est.where(col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+      .localCheckpoint(eager = true)
+    try {
+      val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+      val est = cands
+        .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")),
+          "a")
+        .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")),
+          "b")
+        .withColumn("est_jaccard",
+          expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+            "v -> v)) AS DOUBLE) / CAST(size(sig_a) AS DOUBLE)"))
+      est.where(col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+        .localCheckpoint(eager = true)
+    } finally {
+      // free the signature blocks now that the result is materialized;
+      // a collectFirst miss leaks to the ContextCleaner, never a wrong
+      // unpersist (the LocalStore pattern)
+      sigs.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
   }
 
   // ---------------- SimHash ----------------

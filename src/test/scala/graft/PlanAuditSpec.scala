@@ -45,6 +45,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q45's banded candidate join stays an equi-join over the " +
+      "checkpointed signatures (round-8: the query-level plan is " +
+      "checkpoint-hidden, so pin the operator)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c e f"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(docs, "text", "doc_id", 3, 8)
+      .localCheckpoint(eager = true)
+    val cands = graft.operators.Dedup
+      .lshCandidatePairs(sigs, "doc_id", 4, 2)
+    cands.collect()
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("the shingle-pair candidate join is a shuffled-hash join " +
       "(round-8: no sort of the exploded relation)") {
     val plan = executedPlan("q44_ngram_jaccard")
