@@ -52,7 +52,12 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val params = hashParams(numHashes)
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // same CPU-amplification argument as shinglePairSizes: the per-doc
+    // shingle+minhash loop on a one-split input runs on one core —
+    // spread small inputs, no-op at scale
+    Partitioning.spreadSmallScan(spark,
+        docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = text.split(' ')
@@ -253,7 +258,14 @@ object Dedup {
     * pair, exact shingle-set sizes joined back. */
   private def shinglePairSizes(docs: DataFrame, textCol: String,
       idCol: String, blockCol: String, k: Int): DataFrame = {
-    val withSh = docs.select(col(idCol), col(blockCol),
+    // the shingle explode + per-shingle hash is the CPU-amplifying
+    // stage of this operator; an input that fits in one scan split
+    // would run it on ONE core (measured: ~75–90% of q44/q106 wall at
+    // the sf dirs) — spread small inputs across the session width
+    // first, a no-op at corpus scale (see Partitioning.spreadSmallScan)
+    val spread = Partitioning.spreadSmallScan(docs.sparkSession,
+      docs.select(col(idCol), col(blockCol), col(textCol)))
+    val withSh = spread.select(col(idCol), col(blockCol),
       shingles(col(textCol), k).as("sh"))
     val sizes = withSh.select(col(idCol), col(blockCol),
       size(col("sh")).as("nsh"))

@@ -55,4 +55,33 @@ object Partitioning {
       math.max(1L, math.min(ceiling.toLong, want)).toInt
     }
   }
+
+  /** Inputs at or under this estimate fit inside a single scan split
+    * (spark.sql.files.maxPartitionBytes defaults to 128 MB with a 4 MB
+    * open-cost floor), so a CPU-amplifying stage over them runs as ONE
+    * task however many cores the session has — and shuffling this many
+    * bytes to spread them is free relative to the stage it unblocks. */
+  val SpreadThresholdBytes: Long = 64L << 20
+
+  /** The INVERSE of [[adaptiveParts]], for the other way a bytes-derived
+    * partitioning betrays a CPU-bound stage: `adaptiveParts` stops tiny
+    * cached state from inheriting a corpus-sized stage width; this stops
+    * a tiny SCAN from starving a CPU-amplifying narrow stage (k-shingle
+    * explode + per-shingle hashing multiplies work per input byte, so
+    * bytes under-measure cost). An input whose size estimate fits in one
+    * scan split is round-robin spread across the session's shuffle
+    * width before the expensive stage; anything larger is returned
+    * UNCHANGED — at real corpus scale the scan's own splits provide the
+    * parallelism and the repartition must not shuffle payload bytes
+    * (guide §8: move heavy bytes once). The added exchange is bounded by
+    * [[SpreadThresholdBytes]] by construction; an unknown estimate is
+    * never spread. Results are unaffected: downstream joins/aggregates
+    * key-partition for themselves and the repartition is deterministic
+    * (sort-before-repartition is on by default, SPARK-23207). */
+  def spreadSmallScan(spark: SparkSession, df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > 0 && est <= SpreadThresholdBytes)
+      df.repartition(spark.sessionState.conf.numShufflePartitions)
+    else df
+  }
 }

@@ -24,6 +24,25 @@ class PartitioningSpec extends SparkTestBase {
       spark.sessionState.conf.numShufflePartitions)
   }
 
+  test("spreadSmallScan widens a one-split input to the session width " +
+      "and leaves rows intact") {
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), col("id").cast("string")).as("text"))
+    val spread = Partitioning.spreadSmallScan(spark, df)
+    assert(spread.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+    assert(spread.count() === 1000L)
+  }
+
+  test("spreadSmallScan is a no-op above the threshold (corpus scale " +
+      "must never shuffle payload bytes to spread)") {
+    // 8 bytes/row × 100M rows ≫ SpreadThresholdBytes
+    val df = spark.range(100000000L).select(col("id").as("doc_id"),
+      col("id").cast("string").as("text"))
+    val spread = Partitioning.spreadSmallScan(spark, df)
+    assert(spread eq df)
+  }
+
   test("mid-size input scales with the ~1 MiB/partition target") {
     val ceiling = spark.sessionState.conf.numShufflePartitions
     // ~16 bytes/row × 300k rows ≈ 4.8 MB estimate → a handful of
