@@ -377,7 +377,12 @@ object BpeSpark {
     val ranks: Map[(String, String), Int] =
       merges.map { case (rank, a, b, _) => (a, b) -> rank }.toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    docs.select(col(idCol).cast("long"), col(textCol))
+    // the per-word BPE encode loop is CPU-amplifying — spread one-split
+    // inputs across the session width first (no-op at corpus scale; the
+    // per-partition memo cache stays a pure memo, so results are
+    // partition-independent)
+    Partitioning.spreadSmallScan(spark,
+        docs.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         val r = bc.value

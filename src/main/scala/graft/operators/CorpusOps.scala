@@ -111,7 +111,12 @@ object CorpusOps {
     * no full sort, no single-partition exchange. */
   def ngramCounts(docs: DataFrame, textCol: String, k: Int,
       topK: Int): DataFrame =
-    docs.select(explode(rawShingles(col(textCol), k)).as("gram"))
+    // the shingle explode is CPU-amplifying — spread one-split inputs
+    // across the session width first (no-op at corpus scale; see
+    // Partitioning.spreadSmallScan)
+    Partitioning.spreadSmallScan(docs.sparkSession,
+        docs.select(col(textCol)))
+      .select(explode(rawShingles(col(textCol), k)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(topK)
@@ -128,8 +133,12 @@ object CorpusOps {
     * no skew. The corpus size N rides in as a broadcast singleton. */
   def tfIdf(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(split(col(textCol), " ")).as("term"))
+    // tokenize-explode on a one-split input runs one-core — spread small
+    // inputs first (no-op at corpus scale)
+    val toks = Partitioning.spreadSmallScan(docs.sparkSession,
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -187,9 +196,14 @@ object CorpusOps {
     * caveat to pin, unlike the LSH candidate joins). */
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, k: Int): DataFrame = {
-    val corpusSh = corpus.select(col(idCol).as("doc"),
-      explode(Dedup.shingles(col(textCol), k)).as("gram"))
-    val benchSh = benchmark
+    // both sides' shingle explodes are the CPU-amplifying stages —
+    // spread one-split inputs first (no-op at corpus scale)
+    val corpusSh = Partitioning.spreadSmallScan(corpus.sparkSession,
+        corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val benchSh = Partitioning.spreadSmallScan(benchmark.sparkSession,
+        benchmark.select(col(textCol)))
       .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .distinct()
     corpusSh.join(broadcast(benchSh), "gram")

@@ -162,7 +162,14 @@ object Sketches {
       s"need 0 < k <= capacity, got k=$k capacity=$capacity")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(explode(items).as("w")).as[String]
+    // the item explode + per-item summary updates are CPU-amplifying —
+    // spread one-split inputs across the session width first (no-op at
+    // corpus scale). Summary results are unaffected by the partition
+    // count in the exact regime (merge is exact addition); in the
+    // eviction regime the Space-Saving error bound holds under ANY
+    // merge tree (mergeable-summaries property, SketchBench-checked).
+    val toks = Partitioning.spreadSmallScan(spark, docs)
+      .select(explode(items).as("w")).as[String]
     val merged = toks.rdd
       .mapPartitions(it => Iterator(SpaceSaving.build(capacity, it)))
       .treeReduce((a, b) => a.merge(b), depth = 2)

@@ -131,7 +131,12 @@ object TextAnalysis {
       idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // the per-doc token/bigram loop is CPU-amplifying — spread
+    // one-split inputs across the session width first (no-op at corpus
+    // scale; the pass is per-row, so results are partition-independent)
+    Partitioning.spreadSmallScan(spark,
+        df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = text.split(" ", -1)

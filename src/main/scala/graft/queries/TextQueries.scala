@@ -67,9 +67,13 @@ object TextQueries {
     "q48_langid" -> ((s, d) =>
       // heuristic language id over synthetic-keyword text: not meaningful
       // linguistically, but exercises the operator end to end; oracled
-      // since round 3 by mirroring the vote/argmax semantics in SQL
-      documents(s, d).select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
+      // since round 3 by mirroring the vote/argmax semantics in SQL.
+      // The per-word stopword vote is CPU-amplifying — spread one-split
+      // inputs first (no-op at corpus scale)
+      graft.operators.Partitioning.spreadSmallScan(s,
+          documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")),
 
